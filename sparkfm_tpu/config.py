@@ -1,0 +1,131 @@
+"""Configuration tree for the TPU-native FM framework.
+
+Replaces the reference's hardcoded hyperparameters and mutable model fields
+(reference: fm/FMModel.scala:10-31, fm/FM.scala:25-33, driver.scala:115) with a
+single dataclass-based config. Every knob the reference exposes — num factors,
+task, max iterations, regularization (reg0/regw/regv), init mean/stdev/seed —
+is honored here (the reference's `seed`, `task` and `timeout` params are dead
+code: FMModel.scala:14, impl/FactorizationMachines.scala:12-14).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class Task(enum.Enum):
+    """Learning task (reference: Task.scala:5).
+
+    Unlike the reference — which stores the task but never branches on it —
+    the task selects the loss head: squared loss for REGRESSION, logistic
+    loss for CLASSIFICATION.
+    """
+
+    REGRESSION = "regression"
+    CLASSIFICATION = "classification"
+
+
+class Solver(enum.Enum):
+    SGD = "sgd"
+    ALS = "als"
+
+
+@dataclasses.dataclass(frozen=True)
+class FMConfig:
+    """Model shape + initialization + regularization.
+
+    Mirrors the knobs of the reference FMModel (FMModel.scala:10-31) but all
+    of them are live and keyed:
+      * ``use_bias`` / ``use_linear`` = the reference's hardcoded k0/k1
+        (FMModel.scala:25-26), now configurable.
+      * ``init_stdev``/``init_mean``/``seed`` are honored (the reference draws
+        unseeded Gaussians: FMModel.scala:19-22).
+      * ``reg0``/``reg_w``/``reg_v`` are per-group L2 strengths used by both
+        solvers (reference defaults 0/0/10: FMModel.scala:29-31).
+    """
+
+    num_features: int
+    num_factors: int = 8
+    task: Task = Task.REGRESSION
+    use_bias: bool = True           # k0
+    use_linear: bool = True         # k1
+    init_mean: float = 0.0
+    init_stdev: float = 0.01
+    seed: int = 0
+    reg0: float = 0.0
+    reg_w: float = 0.0
+    reg_v: float = 10.0
+    dtype: str = "float32"          # parameter dtype
+    compute_dtype: str = "float32"  # dtype used inside the interaction kernel
+    # Field-aware extension (FFM): number of fields. 0 = plain FM.
+    num_fields: int = 0
+
+    def replace(self, **kw) -> "FMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SGDConfig:
+    learning_rate: float = 0.05
+    optimizer: str = "adagrad"      # adagrad | sgd | adam
+    batch_size: int = 8192
+    epochs: int = 10
+    momentum: float = 0.0
+    adagrad_eps: float = 1e-8
+    # If True use the sparse gather/scatter update path (only touches rows
+    # active in the batch); if False, dense optax-style updates.
+    sparse_updates: bool = True
+    shuffle_each_epoch: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ALSConfig:
+    """Blocked coordinate-descent (Rendle ALS) config.
+
+    The reference's ALS (fm/lib/ALS.scala:15-75) is strictly sequential
+    Gauss-Seidel on the driver. The TPU formulation processes features in
+    blocks: Jacobi within a block, exact Gauss-Seidel across blocks (residual
+    and q-cache are patched *exactly* after every block — see
+    solvers/als.py). ``block_size`` trades parallelism against staleness; if
+    features are grouped by field (one-hot columns never co-occur in an
+    example), within-field Jacobi is exactly Gauss-Seidel.
+    """
+
+    epochs: int = 10
+    block_size: int = 4096
+    # Optional explicit feature->block assignment (e.g. by field); if None,
+    # contiguous blocks of block_size are used.
+    feature_blocks: Optional[tuple] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout: (data, model) axes.
+
+    data  — batch dimension (examples), the reference's only parallel axis
+            (RDD partitions; SURVEY §2.7).
+    model — feature dimension of the V/w tables (row sharding), the axis the
+            reference lacked (whole model lived on the driver heap:
+            FMModel.scala:18-19).
+    """
+
+    data: int = 1
+    model: int = 1
+    data_axis: str = "data"
+    model_axis: str = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    fm: FMConfig = None
+    sgd: SGDConfig = dataclasses.field(default_factory=SGDConfig)
+    als: ALSConfig = dataclasses.field(default_factory=ALSConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    solver: Solver = Solver.SGD
+    eval_every: int = 1             # epochs between evals (reference evals every
+                                    # epoch unconditionally: FactorizationMachines.scala:43)
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0       # steps; 0 = only at end
+    log_every: int = 100            # steps

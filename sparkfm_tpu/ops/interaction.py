@@ -1,0 +1,123 @@
+"""Second-order FM interaction ops (pure-JAX reference path).
+
+The math is Rendle's O(k*nnz) identity — the same one the reference uses
+per-example on the driver (reference: fm/FMModel.scala:34-63):
+
+    y2(x) = 1/2 * sum_f [ (sum_i v_{f,i} x_i)^2 - sum_i v_{f,i}^2 x_i^2 ]
+
+Here it is batched: inputs are fixed-shape padded CSR batches
+(ids: (B, L) int32, vals: (B, L) float32, pad entries have val == 0 which
+makes them exact no-ops), and the per-factor loop becomes one vectorized
+(B, L, K) contraction that XLA fuses and tiles onto the VPU/MXU. A fused
+Pallas kernel for the gather+interaction hot path lives in
+ops/pallas_interaction.py; this module is the semantics-defining baseline
+both are tested against (and the brute-force O(nnz^2) oracle in tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def interaction_from_rows(vx: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise interaction given pre-scaled rows.
+
+    Args:
+      vx: (B, L, K) array of v_rows * x_vals (already multiplied by feature
+        values; padded positions must be exactly zero).
+
+    Returns:
+      (B,) interaction term: 1/2 * sum_f [(sum_l vx)^2 - sum_l vx^2].
+    """
+    s = jnp.sum(vx, axis=1)                       # (B, K)
+    sq = jnp.sum(jnp.square(vx), axis=(1, 2))     # (B,)
+    return 0.5 * (jnp.sum(jnp.square(s), axis=-1) - sq)
+
+
+def fm_scores(w0: jnp.ndarray, w: jnp.ndarray, v: jnp.ndarray,
+              ids: jnp.ndarray, vals: jnp.ndarray,
+              use_bias: bool = True, use_linear: bool = True,
+              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Batched FM raw scores: w0 + <w, x> + interaction.
+
+    Args:
+      w0: scalar bias.
+      w:  (F,) linear weights.
+      v:  (F, K) factor table.
+      ids:  (B, L) int32 feature ids (padding: any valid id with val == 0).
+      vals: (B, L) feature values.
+
+    Returns: (B,) raw scores (apply sigmoid externally for classification).
+    """
+    vals_c = vals.astype(compute_dtype)
+    vx = v[ids].astype(compute_dtype) * vals_c[..., None]   # (B, L, K)
+    out = interaction_from_rows(vx)
+    if use_linear:
+        out = out + jnp.sum(w[ids].astype(compute_dtype) * vals_c, axis=-1)
+    if use_bias:
+        out = out + w0.astype(compute_dtype)
+    return out.astype(jnp.float32)
+
+
+def fm_scores_from_gathered(w0, w_rows, v_rows, vals,
+                            use_bias: bool = True, use_linear: bool = True,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """FM scores when the parameter rows are already gathered.
+
+    Used by the sharded path, where the all-to-all gather of active rows is a
+    separate (collective) step and by the sparse-update SGD path, which
+    differentiates w.r.t. the gathered rows only.
+
+    Args:
+      w0: scalar; w_rows: (B, L); v_rows: (B, L, K); vals: (B, L).
+    """
+    vals_c = vals.astype(compute_dtype)
+    vx = v_rows.astype(compute_dtype) * vals_c[..., None]
+    out = interaction_from_rows(vx)
+    if use_linear:
+        out = out + jnp.sum(w_rows.astype(compute_dtype) * vals_c, axis=-1)
+    if use_bias:
+        out = out + w0.astype(compute_dtype)
+    return out.astype(jnp.float32)
+
+
+def ffm_scores_from_gathered(w0, w_rows, v_rows, vals, field_ids,
+                             num_fields: int,
+                             use_bias: bool = True, use_linear: bool = True,
+                             compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Field-aware FM (FFM) scores from gathered per-field factor rows.
+
+    Each feature j carries `num_fields` latent vectors; the interaction
+    between features j (field fj) and j' (field fj') uses v_{j,fj'} . v_{j',fj}.
+
+    We compute it as: for each ordered pair of slots (a, b),
+      contrib = <v_rows[a, field(b)], v_rows[b, field(a)]> * x_a * x_b
+    summed over unordered pairs. Padding entries have val == 0.
+
+    Args:
+      v_rows: (B, L, num_fields, K) — per-slot, per-target-field factors.
+      field_ids: (B, L) int32 field of each active feature.
+    """
+    B, L = vals.shape
+    vals_c = vals.astype(compute_dtype)
+    vr = v_rows.astype(compute_dtype)
+
+    # va[b, a, t, :] = factor of slot a toward field t
+    # For the pair (a, b): need vr[b, a, field[b, b_slot]] . vr[b, b_slot, field[b, a]]
+    # Gather along the field axis for every (slot, other-slot) pair:
+    # f_oh: (B, L, num_fields) one-hot of each slot's field.
+    f_oh = jax.nn.one_hot(field_ids, num_fields, dtype=compute_dtype)
+    # v_toward[b, a, c, :] = vr[b, a, field(c)] = sum_t f_oh[b, c, t] * vr[b, a, t, :]
+    v_toward = jnp.einsum("batk,bct->back", vr, f_oh)        # (B, L, L, K)
+    # pair_dot[b, a, c] = <v_toward[b,a,c], v_toward[b,c,a]>
+    pair_dot = jnp.einsum("back,bcak->bac", v_toward, v_toward)
+    xx = vals_c[:, :, None] * vals_c[:, None, :]             # (B, L, L)
+    # strictly upper triangle (unordered pairs, no self-interaction)
+    iu = jnp.triu(jnp.ones((L, L), dtype=bool), k=1)
+    out = jnp.sum(jnp.where(iu[None], pair_dot * xx, 0.0), axis=(1, 2))
+    if use_linear:
+        out = out + jnp.sum(w_rows.astype(compute_dtype) * vals_c, axis=-1)
+    if use_bias:
+        out = out + w0.astype(compute_dtype)
+    return out.astype(jnp.float32)
