@@ -1,0 +1,138 @@
+"""ALS solver tests: exact parity vs a sequential NumPy Gauss-Seidel oracle
+(block_size=1 makes the blocked schedule degenerate to the reference's
+sequential order), plus convergence of the blocked schedule."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sparkfm_tpu.config import ALSConfig, FMConfig, Task
+from sparkfm_tpu.data import synth
+from sparkfm_tpu.data.batching import SparseDataset
+from sparkfm_tpu.models import fm as fm_model
+from sparkfm_tpu.solvers import als
+
+
+def numpy_als_oracle(w0, w, v, dense_x, y, reg0, regw, regv, sweeps=1):
+    """Sequential coordinate descent, exactly the reference's schedule
+    (ALS.scala:15-75): w0, then w by ascending feature, then per factor
+    ascending feature; e patched after every coordinate by delta*h
+    (ALS.scala:194-198), q patched per coordinate (ALS.scala:60-62)."""
+    w0, w, v = float(w0), w.astype(np.float64).copy(), v.astype(np.float64).copy()
+    x = dense_x.astype(np.float64)
+    n, F = x.shape
+    K = v.shape[1]
+
+    def predict():
+        lin = w0 + x @ w
+        s = x @ v                       # (n, K)
+        sq = (x ** 2) @ (v ** 2)
+        return lin + 0.5 * np.sum(s ** 2 - sq, axis=1)
+
+    for _ in range(sweeps):
+        e = predict() - y
+        # w0: h = 1
+        den = float(n)
+        new = (w0 * den - e.sum()) / (reg0 + den)
+        if np.isfinite(new) and den > 0:
+            e += new - w0
+            w0 = new
+        # w
+        for j in range(F):
+            h = x[:, j]
+            den = np.sum(h ** 2)
+            num = np.sum(e * h)
+            new = (w[j] * den - num) / (regw + den) if (regw + den) != 0 else np.nan
+            if np.isfinite(new) and den > 0:
+                e += (new - w[j]) * h
+                w[j] = new
+        # v
+        for f in range(K):
+            q = x @ v[:, f]
+            for j in range(F):
+                h = x[:, j] * (q - x[:, j] * v[j, f])
+                den = np.sum(h ** 2)
+                num = np.sum(e * h)
+                new = (v[j, f] * den - num) / (regv + den) if (regv + den) != 0 else np.nan
+                if np.isfinite(new) and den > 0:
+                    delta = new - v[j, f]
+                    e += delta * h
+                    q += delta * x[:, j]
+                    v[j, f] = new
+    return w0, w, v
+
+
+def _dense_to_sparse(dense, y, num_features):
+    rows = []
+    for i in range(dense.shape[0]):
+        idx = np.nonzero(dense[i])[0]
+        rows.append((y[i], idx, dense[i][idx]))
+    from sparkfm_tpu.data.batching import pack_examples
+    return pack_examples(rows, num_features=num_features)
+
+
+def test_als_block1_matches_sequential_oracle():
+    rng = np.random.default_rng(0)
+    n, F, K = 80, 12, 3
+    dense = rng.normal(size=(n, F)) * (rng.random((n, F)) < 0.4)
+    y = rng.normal(size=n)
+    cfg = FMConfig(num_features=F, num_factors=K, reg0=0.1, reg_w=0.5,
+                   reg_v=1.0, seed=0, init_stdev=0.1)
+    params = fm_model.init_params(cfg)
+    ds = _dense_to_sparse(dense, y, F)
+    ws, nb = als.build_workspace(ds, cfg, ALSConfig(block_size=1))
+    assert nb == F
+    p = params
+    for _ in range(2):
+        p = als.als_sweep(p, ws, nb, F, cfg.reg0, cfg.reg_w, cfg.reg_v)
+    ow0, ow, ov = numpy_als_oracle(
+        np.asarray(params.w0), np.asarray(params.w), np.asarray(params.v),
+        dense, y, cfg.reg0, cfg.reg_w, cfg.reg_v, sweeps=2)
+    np.testing.assert_allclose(float(p.w0), ow0, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p.w), ow, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(p.v), ov, rtol=5e-3, atol=5e-3)
+
+
+def test_als_empty_columns_untouched():
+    """Features never active keep their init values (reference skips empty
+    columns: ALS.scala:39, isUpdatable den>0 guard)."""
+    rng = np.random.default_rng(1)
+    F = 20
+    dense = np.zeros((30, F))
+    dense[:, :10] = rng.normal(size=(30, 10)) * (rng.random((30, 10)) < 0.5)
+    y = rng.normal(size=30)
+    cfg = FMConfig(num_features=F, num_factors=2, reg_v=1.0, seed=1)
+    params = fm_model.init_params(cfg)
+    ds = _dense_to_sparse(dense, y, F)
+    # all-zero rows would make pack skip entries; ensure at least 1 nnz
+    ws, nb = als.build_workspace(ds, cfg, ALSConfig(block_size=4))
+    p = als.als_sweep(params, ws, nb, F, cfg.reg0, cfg.reg_w, cfg.reg_v)
+    np.testing.assert_array_equal(np.asarray(p.v)[10:], np.asarray(params.v)[10:])
+    np.testing.assert_array_equal(np.asarray(p.w)[10:], np.asarray(params.w)[10:])
+
+
+def test_als_blocked_converges_on_movielens_synth():
+    ds = synth.synth_movielens(num_users=60, num_items=80,
+                               num_examples=8000, rank=3, noise=0.1, seed=0)
+    from sparkfm_tpu.data import split
+    coll = split.split_by_random(ds, 0.8, 0.2, seed=0)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=8,
+                   reg0=0.0, reg_w=0.1, reg_v=0.5, init_stdev=0.01, seed=0)
+    res = als.train_als(cfg, ALSConfig(epochs=8, block_size=64),
+                        coll.training, coll.test, eval_every=2)
+    base_rmse = float(np.std(coll.test.y))
+    final = res.history[-1]["eval_rmse"]
+    assert final < 0.7 * base_rmse, (final, base_rmse)
+    # monotone-ish improvement between first and last eval
+    first = res.history[0]["eval_rmse"]
+    assert final < first
+
+
+def test_als_rejects_classification_and_ffm():
+    cfg = FMConfig(num_features=10, num_factors=2, task=Task.CLASSIFICATION)
+    ds = synth.synth_movielens(num_users=5, num_items=5, num_examples=50)
+    with pytest.raises(ValueError):
+        als.train_als(cfg, ALSConfig(epochs=1), ds)
+    cfg2 = FMConfig(num_features=10, num_factors=2, num_fields=3)
+    with pytest.raises(ValueError):
+        als.train_als(cfg2, ALSConfig(epochs=1), ds)
