@@ -11,7 +11,7 @@ time of conftest (pytest imports conftest before test modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +19,8 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+# The environment may pre-register a TPU platform and pin JAX_PLATFORMS via
+# sitecustomize *before* conftest runs; env mutation alone is then too late.
+# Setting the config option directly always wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

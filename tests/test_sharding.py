@@ -1,0 +1,144 @@
+"""Sharded-training tests on the 8-device virtual CPU mesh (conftest.py).
+
+The core claim: the shard_map (data x model) train step computes the SAME
+update as the single-device step — the mesh only changes where arrays live
+and which collectives move them (SURVEY §2.7). Verified for pure-DP, pure-TP
+and mixed meshes, for FM and FFM, including uneven tail batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparkfm_tpu.config import FMConfig, SGDConfig, Task
+from sparkfm_tpu.data import synth
+from sparkfm_tpu.data.batching import SparseBatch, batch_iterator
+from sparkfm_tpu.models import fm as fm_model
+from sparkfm_tpu.parallel import mesh as M
+from sparkfm_tpu.parallel import sharded_sgd
+from sparkfm_tpu.solvers import sgd as sgd_solver
+
+
+def _unshard(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def _run_pair(mesh_shape, cfg, sgd_cfg, ds, steps=3):
+    """Run N steps sharded and single-device from identical init; return
+    both final states (with the sharded table truncated back to true F)."""
+    mesh = M.make_mesh(*mesh_shape)
+    state_sh, pcfg = sharded_sgd.init_sharded_state(cfg, mesh, key=jax.random.PRNGKey(3))
+    step_sh = sharded_sgd.make_sharded_train_step(pcfg, sgd_cfg, mesh)
+
+    # identical init for the reference path (truncate padded rows)
+    params0 = fm_model.init_params(pcfg, jax.random.PRNGKey(3))
+    state_ref = sgd_solver.init_state(params0)
+    step_ref = sgd_solver.make_train_step(pcfg, sgd_cfg)
+
+    it1 = batch_iterator(ds, sgd_cfg.batch_size, shuffle=False)
+    it2 = batch_iterator(ds, sgd_cfg.batch_size, shuffle=False)
+    losses_sh, losses_ref = [], []
+    for _ in range(steps):
+        b1, b2 = next(it1), next(it2)
+        state_sh, aux1 = step_sh(state_sh, b1)
+        state_ref, aux2 = step_ref(state_ref, b2)
+        losses_sh.append(float(aux1["loss"]))
+        losses_ref.append(float(aux2["loss"]))
+    return state_sh, state_ref, losses_sh, losses_ref
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (1, 8), (4, 2), (2, 4)])
+def test_sharded_step_matches_single_device(mesh_shape):
+    ds = synth.synth_movielens(num_users=50, num_items=70,
+                               num_examples=2000, seed=0)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                   reg_w=0.01, reg_v=0.05, seed=0)
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                        optimizer="adagrad")
+    st_sh, st_ref, l_sh, l_ref = _run_pair(mesh_shape, cfg, sgd_cfg, ds)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.params.w0),
+                               np.asarray(st_ref.params.w0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.params.w),
+                               np.asarray(st_ref.params.w),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st_sh.params.v),
+                               np.asarray(st_ref.params.v),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_tail_batch_mask_exact():
+    """Tail batch (masked padding rows) must not perturb the update."""
+    ds = synth.synth_movielens(num_users=30, num_items=30,
+                               num_examples=300, seed=1)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=2, seed=1)
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.05, optimizer="sgd")
+    st_sh, st_ref, l_sh, l_ref = _run_pair((4, 2), cfg, sgd_cfg, ds, steps=2)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.params.v),
+                               np.asarray(st_ref.params.v),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_ffm_matches_single_device():
+    ds = synth.synth_ctr(num_examples=1024, num_fields=4, num_buckets=64,
+                         seed=2)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=3, num_fields=4,
+                   task=Task.CLASSIFICATION, reg_v=0.01, seed=2)
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.05,
+                        optimizer="adagrad")
+    st_sh, st_ref, l_sh, l_ref = _run_pair((2, 4), cfg, sgd_cfg, ds, steps=3)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.params.v),
+                               np.asarray(st_ref.params.v),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_scores_match_dense_gather():
+    ds = synth.synth_movielens(num_users=40, num_items=40,
+                               num_examples=512, seed=3)
+    mesh = M.make_mesh(2, 4)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4, seed=3)
+    state, pcfg = sharded_sgd.init_sharded_state(cfg, mesh)
+    score_fn = sharded_sgd.make_sharded_score_fn(pcfg, mesh)
+    b = next(batch_iterator(ds, 256, shuffle=False))
+    s_sh = np.asarray(score_fn(state.params, b.ids, b.vals))
+    s_ref = np.asarray(fm_model.scores(
+        jax.tree_util.tree_map(np.asarray, state.params), pcfg,
+        b.ids, b.vals))
+    np.testing.assert_allclose(s_sh, s_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_training_improves_ctr_auc():
+    """End-to-end sharded logistic FM on power-law CTR data improves AUC."""
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.ops import metrics as MM
+
+    ds = synth.synth_ctr(num_examples=6000, num_fields=8, num_buckets=2048,
+                         seed=4)
+    coll = split_by_random(ds, 0.8, 0.2, seed=4)
+    mesh = M.make_mesh(2, 4)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=8,
+                   task=Task.CLASSIFICATION, reg_v=1e-4, seed=4)
+    sgd_cfg = SGDConfig(batch_size=512, learning_rate=0.1,
+                        optimizer="adagrad", epochs=3)
+    state, pcfg = sharded_sgd.init_sharded_state(cfg, mesh)
+    step = sharded_sgd.make_sharded_train_step(pcfg, sgd_cfg, mesh)
+    score_fn = sharded_sgd.make_sharded_score_fn(pcfg, mesh)
+
+    def auc_now(params):
+        scores = []
+        for b in batch_iterator(coll.test, 512, shuffle=False):
+            s = np.asarray(score_fn(params, b.ids, b.vals))
+            scores.append(s[np.asarray(b.mask)])
+        s = np.concatenate(scores)
+        return float(MM.auc(jnp.asarray(s), jnp.asarray(coll.test.y[:len(s)])))
+
+    auc0 = auc_now(state.params)
+    for epoch in range(sgd_cfg.epochs):
+        for b in batch_iterator(coll.training, sgd_cfg.batch_size,
+                                shuffle=True, seed=4, epoch=epoch):
+            state, _ = step(state, b)
+    auc1 = auc_now(state.params)
+    assert auc1 > max(auc0, 0.55), (auc0, auc1)
