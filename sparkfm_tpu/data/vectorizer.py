@@ -316,3 +316,75 @@ class RelationVectorizer(Vectorizer):
             ids, vals = hit
             return list(ids), list(vals)
         return super()._cell_features(i, cell)
+
+    # -- block-structure output (Method 2: no materialization) -------------
+
+    def transform_relational(self, rows: Iterable[Sequence[str]],
+                             max_nnz: Optional[int] = None):
+        """Map rows to a :class:`RelationalDataset` — relation features stay
+        in per-relation tables and examples carry row keys, joined on device
+        at batch time (data/relational.py). The feature-space layout is
+        identical to :meth:`transform`, so both paths score identically."""
+        from sparkfm_tpu.data.relational import (RelationalDataset,
+                                                 RelationTable)
+        if not self.fitted:
+            raise RuntimeError("call fit() first")
+        rel_cols = sorted(self.relations)
+
+        # Build each relation's padded table + key -> row index (sorted keys
+        # for determinism) with a trailing all-zero null row.
+        tables: List[RelationTable] = []
+        key_to_row: List[Dict[str, int]] = []
+        for c in rel_cols:
+            _, mapping = self.relations[c]
+            keys = sorted(mapping)
+            nrow = len(keys) + 1
+            lr = max((len(mapping[k][0]) for k in keys), default=1)
+            lr = max(lr, 1)
+            tids = np.zeros((nrow, lr), np.int32)
+            tvals = np.zeros((nrow, lr), np.float32)
+            for r, k in enumerate(keys):
+                ids, vals = mapping[k]
+                n = min(len(ids), lr)
+                tids[r, :n] = ids[:n]
+                tvals[r, :n] = vals[:n]
+            tables.append(RelationTable(ids=tids, vals=tvals,
+                                        offset=self.offsets[c]))
+            key_to_row.append({k: r for r, k in enumerate(keys)})
+
+        # Direct features (skip relation columns) + per-relation keys.
+        ncols = len(self.schema)
+        packed = []
+        all_keys: List[List[int]] = []
+        dropped = 0
+        for row in rows:
+            if len(row) != ncols:
+                dropped += 1
+                continue
+            try:
+                y = self.schema[self.target_col].transform(
+                    row[self.target_col])
+            except ValueError:
+                dropped += 1
+                continue
+            ids: List[int] = []
+            vals: List[float] = []
+            for i in range(ncols):
+                if self.block_dims[i] == 0 or i in self.relations:
+                    continue
+                lids, lvals = self._cell_features(i, row[i])
+                ids.extend(self.offsets[i] + j for j in lids)
+                vals.extend(lvals)
+            packed.append((y, np.asarray(ids, np.int64),
+                           np.asarray(vals, np.float64)))
+            all_keys.append([
+                key_to_row[r].get(row[c], len(key_to_row[r]))  # miss -> null
+                for r, c in enumerate(rel_cols)])
+        self.rows_dropped = dropped
+        main = pack_examples(packed, num_features=self.dimension,
+                             max_nnz=max_nnz)
+        return RelationalDataset(
+            main_ids=main.ids, main_vals=main.vals, y=main.y,
+            keys=np.asarray(all_keys, np.int32).reshape(
+                len(packed), len(rel_cols)),
+            tables=tuple(tables), num_features=self.dimension)

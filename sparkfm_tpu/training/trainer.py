@@ -122,3 +122,52 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     eps = n_examples / max(elapsed, 1e-9)
     return TrainResult(params=state.params, history=history,
                        examples_per_sec=eps)
+
+
+def train_sgd_relational(cfg: FMConfig, sgd_cfg: SGDConfig, train,
+                         eval_ds=None, eval_every: int = 1,
+                         key: Optional[jax.Array] = None) -> TrainResult:
+    """SGD on a block-structure RelationalDataset: relation tables live on
+    device and are joined by gather inside the jitted step — the working
+    version of the reference's dead relational path (FMLearn.scala:14).
+
+    eval_ds may be a RelationalDataset (materialized once for metrics) or a
+    plain SparseDataset.
+    """
+    from sparkfm_tpu.data import relational as R
+
+    params = fm_model.init_params(cfg, key)
+    state = sgd_solver.init_state(params)
+    step_fn = R.make_relational_train_step(cfg, sgd_cfg)
+    tables = R.tables_to_device(train.tables)
+    if eval_ds is not None and hasattr(eval_ds, "materialize"):
+        eval_ds = eval_ds.materialize()
+    score_fn = _eval_scores_fn(cfg)
+
+    history: List[Dict[str, float]] = []
+    n_examples = 0
+    t0 = time.perf_counter()
+    for epoch in range(sgd_cfg.epochs):
+        losses = []
+        for batch in R.relational_batch_iterator(
+                train, sgd_cfg.batch_size,
+                shuffle=sgd_cfg.shuffle_each_epoch, seed=cfg.seed,
+                epoch=epoch):
+            state, aux = step_fn(state, batch, tables)
+            losses.append(aux["loss"])
+            n_examples += int(jnp.sum(batch.mask)) if batch.mask is not None \
+                else batch.y.shape[0]
+        rec = {"epoch": epoch,
+               "train_loss": float(jnp.mean(jnp.stack(losses)))}
+        if eval_ds is not None and (epoch % eval_every == 0
+                                    or epoch == sgd_cfg.epochs - 1):
+            rec.update({f"eval_{k}": v for k, v in evaluate(
+                state.params, cfg, eval_ds, sgd_cfg.batch_size,
+                score_fn).items()})
+        history.append(rec)
+        log.info("epoch %d: %s", epoch,
+                 " ".join(f"{k}={v:.5f}" for k, v in rec.items()
+                          if k != "epoch"))
+    eps = n_examples / max(time.perf_counter() - t0, 1e-9)
+    return TrainResult(params=state.params, history=history,
+                       examples_per_sec=eps)
