@@ -78,18 +78,40 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
               eval_ds: Optional[SparseDataset] = None,
               eval_every: int = 1,
               key: Optional[jax.Array] = None,
-              hooks: Optional[List[Callable]] = None) -> TrainResult:
-    """Single-host SGD training (BASELINE config 1 path)."""
+              hooks: Optional[List[Callable]] = None,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 1,
+              resume: bool = True) -> TrainResult:
+    """Single-host SGD training (BASELINE config 1 path).
+
+    With ``checkpoint_dir`` set, the full state is async-saved every
+    ``checkpoint_every`` epochs and, if ``resume`` and a checkpoint exists,
+    training continues from the saved epoch with the identical
+    (seed, epoch)-keyed batch order — a resumed run reproduces an
+    uninterrupted one exactly (tests/test_checkpoint.py).
+    """
     params = fm_model.init_params(cfg, key)
     state = sgd_solver.init_state(params)
     step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
     score_fn = _eval_scores_fn(cfg)
 
     history: List[Dict[str, float]] = []
+    start_epoch = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        from sparkfm_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(checkpoint_dir)
+        if resume and ckpt.latest_step() is not None:
+            state, extra = ckpt.restore(template=state)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            history = list(extra.get("history", []))
+            log.info("resumed from %s at epoch %d", checkpoint_dir,
+                     start_epoch)
+
     n_examples = 0
     t0 = time.perf_counter()
     compile_time = 0.0
-    for epoch in range(sgd_cfg.epochs):
+    for epoch in range(start_epoch, sgd_cfg.epochs):
         losses = []
         for i, batch in enumerate(batch_iterator(
                 train, sgd_cfg.batch_size,
@@ -118,6 +140,12 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         if hooks:
             for h in hooks:
                 h(epoch, state, rec)
+        if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
+                                 or epoch == sgd_cfg.epochs - 1):
+            ckpt.save(epoch, state,
+                      extra={"epoch": epoch, "history": history})
+    if ckpt is not None:
+        ckpt.close()
     elapsed = time.perf_counter() - t0 - compile_time
     eps = n_examples / max(elapsed, 1e-9)
     return TrainResult(params=state.params, history=history,
