@@ -7,11 +7,13 @@ I/O, schema-driven (incl. relational) vectorization, metrics, sharded
 training over a (data, model) device mesh, and checkpointing.
 """
 
+from sparkfm_tpu.api import FM, FMModel
 from sparkfm_tpu.config import (ALSConfig, FMConfig, MeshConfig, SGDConfig,
                                 Solver, Task, TrainConfig)
 from sparkfm_tpu.models.fm import FMParams, init_params, predict, scores
 
 __all__ = [
+    "FM", "FMModel",
     "ALSConfig", "FMConfig", "MeshConfig", "SGDConfig", "Solver", "Task",
     "TrainConfig", "FMParams", "init_params", "predict", "scores",
 ]

@@ -1,0 +1,264 @@
+"""Command-line driver.
+
+The reference's application layer (DS/driver.scala) hardcodes its master URL,
+data paths, and hyperparameters (driver.scala:14,115; SURVEY §2.6). This CLI
+exposes the same flows as flags:
+
+  train           libFM (or synthetic) data -> solver -> metrics
+                  (driver.scala:106-112 generalized)
+  vectorize       raw delimited text + schema [+ relations] -> libFM file
+                  (the reference's dormant export demos, driver.scala:29-71)
+  eval            saved model + libFM data -> metrics
+  movielens-demo  the reference's canonical testALS flow end-to-end
+                  (driver.scala:73-113) on generated MovieLens-shaped data
+
+Schema DSL (for --schema / relation specs): comma-separated column kinds —
+  target | identity | list[:SEP] | number | time | hashed:N | ignored
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import List, Optional
+
+from sparkfm_tpu.config import Task
+
+
+def parse_schema(spec: str):
+    """'identity,identity,target' (+ 'list:|', 'hashed:4096') -> [Column]."""
+    from sparkfm_tpu.data import schema as S
+    cols = []
+    for i, tok in enumerate(spec.split(",")):
+        tok = tok.strip()
+        kind, _, arg = tok.partition(":")
+        kind = kind.lower()
+        name = f"col{i}"
+        if kind == "target":
+            cols.append(S.Target(name))
+        elif kind == "identity":
+            cols.append(S.Identity(name))
+        elif kind == "list":
+            cols.append(S.List(name, separator=arg or ","))
+        elif kind == "number":
+            cols.append(S.Number(name))
+        elif kind == "time":
+            cols.append(S.Time(name))
+        elif kind == "hashed":
+            cols.append(S.Hashed(int(arg), name))
+        elif kind == "ignored":
+            cols.append(S.Ignored(name))
+        else:
+            raise ValueError(f"unknown column kind {tok!r}")
+    return cols
+
+
+def _load_dataset(args) -> "SparseDataset":
+    from sparkfm_tpu.data import libfm, synth
+    if args.libfm:
+        return libfm.load_libfm(args.libfm, num_features=args.num_features)
+    if args.synth == "movielens":
+        return synth.synth_movielens(num_examples=args.synth_examples,
+                                     seed=args.seed)
+    if args.synth == "ctr":
+        return synth.synth_ctr(num_examples=args.synth_examples,
+                               seed=args.seed)
+    raise SystemExit("need --libfm PATH or --synth movielens|ctr")
+
+
+def cmd_train(args) -> int:
+    from sparkfm_tpu.api import FM
+    from sparkfm_tpu.data.split import split_by_random
+
+    ds = _load_dataset(args)
+    if args.test_libfm:
+        from sparkfm_tpu.data import libfm
+        train, test = ds, libfm.load_libfm(args.test_libfm,
+                                           num_features=ds.num_features)
+    elif args.split:
+        w = [float(x) for x in args.split.split(",")]
+        coll = split_by_random(ds, *w, seed=args.seed)
+        train, test = coll.training, coll.test
+    else:
+        train, test = ds, None
+
+    task = Task(args.task)
+    fm = FM(num_factors=args.factors, task=task, max_iter=args.iters,
+            solver=args.solver, reg0=args.reg0, reg_w=args.reg_w,
+            reg_v=args.reg_v, init_stdev=args.init_stdev, seed=args.seed,
+            learning_rate=args.lr, batch_size=args.batch_size,
+            optimizer=args.optimizer, eval_every=args.eval_every)
+    model = fm.fit(train, eval_ds=test, checkpoint_dir=args.checkpoint_dir)
+
+    out = {"examples_per_sec": round(model.examples_per_sec, 1),
+           "train_examples": train.num_examples,
+           "num_features": train.num_features}
+    if test is not None:
+        out.update({f"test_{k}": round(v, 6)
+                    for k, v in model.evaluate(test).items()})
+    if args.save_model:
+        model.save(args.save_model)
+        out["saved_to"] = args.save_model
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_vectorize(args) -> int:
+    from sparkfm_tpu.data import libfm
+    from sparkfm_tpu.data.schema import read_delimited
+    from sparkfm_tpu.data.vectorizer import RelationVectorizer, Vectorizer
+
+    schema = parse_schema(args.schema)
+    if args.relation:
+        vec = RelationVectorizer(schema)
+        for spec in args.relation:
+            # PATH:SCHEMA:JOINCOL[:SEP]
+            parts = spec.split(";")
+            if len(parts) < 3:
+                raise SystemExit(
+                    "--relation format: PATH;SCHEMA;JOINCOL[;SEP]")
+            path, rschema, joincol = parts[0], parts[1], int(parts[2])
+            sep = parts[3] if len(parts) > 3 else args.separator
+            vec.add_relation(read_delimited(path, sep),
+                             parse_schema(rschema), joincol)
+    else:
+        vec = Vectorizer(schema)
+    rows = list(read_delimited(args.input, args.separator))
+    ds = vec.fit(rows).transform(rows)
+    libfm.save_libfm(ds, args.output)
+    if args.save_vocab:
+        vec.save_vocab(args.save_vocab)
+    print(json.dumps({"examples": ds.num_examples,
+                      "num_features": ds.num_features,
+                      "max_nnz": ds.max_nnz,
+                      "dropped": vec.rows_dropped,
+                      "output": args.output}))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    from sparkfm_tpu.api import FMModel
+    from sparkfm_tpu.data import libfm
+
+    model = FMModel.load(args.model)
+    ds = libfm.load_libfm(args.libfm,
+                          num_features=model.cfg.num_features)
+    print(json.dumps({k: round(v, 6)
+                      for k, v in model.evaluate(ds).items()}))
+    return 0
+
+
+def cmd_movielens_demo(args) -> int:
+    """The reference's canonical flow (driver.scala:73-113): MovieLens-shaped
+    ratings with a user side-table join, 80/20 split, FM(k=2) x 3 ALS iters,
+    report test RMSE."""
+    import numpy as np
+
+    from sparkfm_tpu.api import FM
+    from sparkfm_tpu.data.schema import Identity, Target
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.data.vectorizer import RelationVectorizer
+
+    rng = np.random.default_rng(args.seed)
+    n_users, n_items = 500, 400
+    users = [[str(u), "MF"[u % 2], str(18 + u % 5), str(u % 21)]
+             for u in range(n_users)]
+    bu = 0.4 * rng.standard_normal(n_users)
+    bi = 0.4 * rng.standard_normal(n_items)
+    rows = []
+    for _ in range(args.synth_examples):
+        u, m = int(rng.integers(n_users)), int(rng.integers(n_items))
+        y = float(np.clip(3.6 + bu[u] + bi[m] + 0.2 * rng.standard_normal(),
+                          1, 5))
+        rows.append([f"{y:.3f}", str(u), f"m{m}"])
+
+    vec = RelationVectorizer([Target("rating"), Identity("user"),
+                              Identity("movie")])
+    vec.add_relation(users, [Target("uid"), Identity("gender"),
+                             Identity("age"), Identity("occupation")],
+                     join_column=1)
+    ds = vec.fit_transform(rows)
+    coll = split_by_random(ds, 0.8, 0.2, seed=args.seed)
+
+    fm = FM(num_factors=args.factors, max_iter=args.iters, solver="als",
+            reg_v=args.reg_v, seed=args.seed)
+    model = fm.fit(coll.training, eval_ds=coll.test)
+    rmse = model.compute_rmse(coll.test)
+    print(json.dumps({"test_rmse": round(rmse, 5),
+                      "num_features": ds.num_features,
+                      "train_examples": coll.training.num_examples}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sparkfm_tpu",
+                                description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("train", help="train an FM on libFM or synthetic data")
+    t.add_argument("--libfm", help="libFM-format training file")
+    t.add_argument("--test-libfm", help="libFM-format test file")
+    t.add_argument("--synth", choices=["movielens", "ctr"],
+                   help="generate synthetic data instead of loading")
+    t.add_argument("--synth-examples", type=int, default=100000)
+    t.add_argument("--num-features", type=int, default=-1,
+                   help="feature dim; -1 = infer from data")
+    t.add_argument("--split", default=None,
+                   help="train,test[,val] weights, e.g. 0.8,0.2")
+    t.add_argument("--task", choices=[x.value for x in Task],
+                   default="regression")
+    t.add_argument("--solver", default="als", choices=["als", "sgd"])
+    t.add_argument("--factors", type=int, default=8)
+    t.add_argument("--iters", type=int, default=10)
+    t.add_argument("--reg0", type=float, default=0.0)
+    t.add_argument("--reg-w", type=float, default=0.0)
+    t.add_argument("--reg-v", type=float, default=0.1)
+    t.add_argument("--init-stdev", type=float, default=0.01)
+    t.add_argument("--lr", type=float, default=0.05)
+    t.add_argument("--batch-size", type=int, default=8192)
+    t.add_argument("--optimizer", default="adagrad",
+                   choices=["adagrad", "sgd", "adam"])
+    t.add_argument("--eval-every", type=int, default=1)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--checkpoint-dir")
+    t.add_argument("--save-model")
+    t.set_defaults(fn=cmd_train)
+
+    v = sub.add_parser("vectorize",
+                       help="raw delimited text + schema -> libFM file")
+    v.add_argument("--input", required=True)
+    v.add_argument("--separator", default="::")
+    v.add_argument("--schema", required=True,
+                   help="e.g. 'identity,identity,target'")
+    v.add_argument("--relation", action="append",
+                   help="PATH;SCHEMA;JOINCOL[;SEP] (repeatable)")
+    v.add_argument("--output", required=True)
+    v.add_argument("--save-vocab")
+    v.set_defaults(fn=cmd_vectorize)
+
+    e = sub.add_parser("eval", help="evaluate a saved model on libFM data")
+    e.add_argument("--model", required=True)
+    e.add_argument("--libfm", required=True)
+    e.set_defaults(fn=cmd_eval)
+
+    d = sub.add_parser("movielens-demo",
+                       help="the reference driver's canonical ALS flow")
+    d.add_argument("--factors", type=int, default=2)
+    d.add_argument("--iters", type=int, default=3)
+    d.add_argument("--reg-v", type=float, default=0.5)
+    d.add_argument("--synth-examples", type=int, default=50000)
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=cmd_movielens_demo)
+
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

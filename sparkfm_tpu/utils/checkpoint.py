@@ -19,6 +19,7 @@ checkpointing is first-class:
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -32,11 +33,11 @@ class Checkpointer:
 
     def __init__(self, directory: str, max_to_keep: int = 3,
                  async_save: bool = True):
-        self.directory = directory
+        self.directory = os.path.abspath(directory)  # orbax requires absolute
         opts = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             enable_async_checkpointing=async_save)
-        self._mgr = ocp.CheckpointManager(directory, options=opts)
+        self._mgr = ocp.CheckpointManager(self.directory, options=opts)
 
     def save(self, step: int, state: Any,
              extra: Optional[Dict[str, Any]] = None) -> None:
