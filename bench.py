@@ -9,12 +9,19 @@ publishes no numbers (BASELINE.md), so `vs_baseline` is measured against the
 BASELINE.json north-star *per-chip* rate: >10M examples/s on a v5p-16
 (8 chips) => 1.25M examples/s/chip. vs_baseline = value / 1.25e6.
 
+Timing notes: on tunneled TPU backends `block_until_ready` can return before
+execution finishes, so the timed region ends with a host fetch of scalars
+that depend on the final step's full state (loss + a parameter), and the
+measured RPC latency of a trivial fetch is subtracted once.
+
 Env knobs (all optional):
   BENCH_BUCKETS   feature buckets (default 2^22)
   BENCH_BATCH     batch size      (default 16384)
   BENCH_NNZ       actives/example (default 39, the Criteo field count)
   BENCH_RANK      factors         (default 32)
   BENCH_STEPS     timed steps     (default 30)
+  BENCH_DIST      id distribution: zipf (default; Criteo-like) | uniform
+  BENCH_PATH      update path: auto (default) | direct | dedup
 """
 
 import json
@@ -38,43 +45,64 @@ def main():
     nnz = int(os.environ.get("BENCH_NNZ", 39))
     rank = int(os.environ.get("BENCH_RANK", 32))
     steps = int(os.environ.get("BENCH_STEPS", 30))
+    dist = os.environ.get("BENCH_DIST", "zipf")
+    path = os.environ.get("BENCH_PATH", "auto")
 
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
-                        optimizer="adagrad")
+                        optimizer="adagrad", update_path=path)
 
     params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
     state = sgd_solver.init_state(params)
+    if sgd_solver.resolve_update_path(cfg, sgd_cfg) == "dedup":
+        state = sgd_solver.pad_state_for_dedup(state)
     step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
 
-    # Pre-stage a handful of distinct device batches (power-law ids, like
-    # synth_ctr but generated directly to keep host prep cheap).
+    # Measure RPC/fetch latency with a trivial dependent fetch.
+    tiny = jax.jit(lambda x: x + 1)
+    y = tiny(jnp.float32(1.0)); _ = float(y)
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter(); y = tiny(y); _ = float(y)
+        lat.append(time.perf_counter() - t0)
+    rpc_lat = min(lat)
+
+    # Pre-stage distinct device batches (fresh ids each — identical inputs
+    # can be memoized by tunneled backends).
     rng = np.random.default_rng(0)
     n_batches = 8
-    batches = []
-    for i in range(n_batches):
-        raw = rng.zipf(1.3, size=(batch, nnz)).astype(np.int64)
-        ids = ((raw * 2654435761) % buckets).astype(np.int32)
+
+    def make_batch():
+        if dist == "uniform":
+            ids = rng.integers(0, buckets, (batch, nnz)).astype(np.int32)
+        else:
+            raw = rng.zipf(1.3, size=(batch, nnz)).astype(np.int64)
+            ids = ((raw * 2654435761) % buckets).astype(np.int32)
         y = rng.integers(0, 2, (batch,)).astype(np.float32)
-        batches.append(SparseBatch(
+        return SparseBatch(
             ids=jnp.asarray(ids),
             vals=jnp.ones((batch, nnz), jnp.float32),
             y=jnp.asarray(y),
-            mask=jnp.ones((batch,), bool)))
+            mask=jnp.ones((batch,), bool))
 
-    # Warmup / compile.
+    batches = [make_batch() for _ in range(n_batches)]
+    for b in batches:
+        jax.block_until_ready(b.ids)
+
+    # Warmup / compile; force real completion with a dependent fetch.
     state, aux = step_fn(state, batches[0])
-    jax.block_until_ready(aux["loss"])
+    _ = float(aux["loss"]) + float(state.params.w0)
     for i in range(2):
         state, aux = step_fn(state, batches[(i + 1) % n_batches])
-    jax.block_until_ready(aux["loss"])
+    _ = float(aux["loss"]) + float(state.params.w0)
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, aux = step_fn(state, batches[i % n_batches])
-    jax.block_until_ready(aux["loss"])
-    dt = time.perf_counter() - t0
+    final = float(aux["loss"]) + float(state.params.w0)
+    dt = time.perf_counter() - t0 - rpc_lat
+    assert np.isfinite(final)
 
     eps = steps * batch / dt
     baseline_per_chip = 10e6 / 8  # north-star: 10M ex/s on v5p-16 (8 chips)

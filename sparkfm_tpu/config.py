@@ -78,6 +78,18 @@ class SGDConfig:
     # active in the batch); if False, dense optax-style updates.
     sparse_updates: bool = True
     shuffle_each_epoch: bool = True
+    # How batch rows touch the parameter tables:
+    #   "direct" — XLA gather/scatter straight on the (F, K) tables.
+    #   "dedup"  — sort + unique-compact the batch ids first; the big table
+    #              is touched once per *unique* id and all per-slot math runs
+    #              against a small (U, K) matrix (ops/embedding.py). Strictly
+    #              faster on TPU for F >~ 2^16 (XLA big-table scatter is
+    #              ~200ns/row; small-table ops are ~10-20x cheaper).
+    #   "auto"   — dedup when num_features >= 2^16 else direct.
+    update_path: str = "auto"
+    # Static unique-id budget U for the dedup path; 0 = next power of two
+    # >= batch nnz slots (no overflow possible), capped at 2^18.
+    unique_budget: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,146 @@
+"""Sparse embedding-table access paths, tuned for TPU memory behavior.
+
+Measured on a TPU v5e-class chip (see bench notes in git history), XLA's
+native paths for a (2^22, 32) f32 table with ~320K batch lookups are far off
+the HBM roofline:
+
+  * gather  table[ids]           ~41 ns/row   (13 ms)
+  * scatter table.at[ids].add    ~144-206 ns/row (46 ms; sorted/unique
+    flags change nothing)
+  * gather from a VMEM-sized table (<=2^16 rows) ~5 ns/row — 8x faster
+  * scatter-add into a VMEM-sized table ~15 ns/row
+  * lax.sort of 320K int32 pairs ~0.8 ms
+
+The dedup path exploits this: sort the batch ids once, compact to unique
+rows (a static budget U), touch the big table only U times, and do all
+per-slot work against a small VMEM-resident (U, K) matrix:
+
+  1. sort (ids, pos)                                  [cheap]
+  2. seg_id = rank of each sorted slot's unique id    [cumsum]
+  3. ranks in natural order = unsort seg_id by pos    [2nd cheap sort]
+  4. unique ids = stable compaction of boundaries     [3rd cheap sort]
+  5. rows_u = table[uids]                             [U x 41ns]
+  6. per-slot rows = rows_u[ranks]                    [N x 5ns, VMEM]
+  7. backward: grads scatter-add into (U, K)          [N x 15ns, VMEM]
+  8. update unique rows densely, write back with one
+     scatter-set of U unique rows                     [U rows]
+
+For power-law (CTR) batches U << N, so steps 5/8 — the only big-table
+traffic — shrink by the dedup ratio. Overflowing ids beyond the U budget
+fall back into a shared overflow slot whose updates are dropped (counted in
+aux); budgets should be set so this is rare (auto mode sizes U from N).
+
+The reference has no analog: its driver pulls the whole dataset and model
+into JVM heaps (ALS.scala:34). This module is the TPU-native replacement for
+"how parameters are touched at all".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class DedupBatch(NamedTuple):
+    """Deduplicated lookup plan for one batch of flat ids.
+
+    uids:   (U,) int32 — unique ids, sorted; unused budget slots hold
+            ``fill`` (pass the table's padded dummy row id).
+    ranks:  same shape as the input ids — position of each slot's id in uids.
+    count:  () int32 — number of distinct ids (may exceed U; see overflow).
+    overflow: () bool — True if distinct ids exceeded the U budget. Slots
+            whose id ranked >= U alias the last budget slot; with the fill
+            row as a dummy this degrades gracefully (their gathers read the
+            dummy row; their updates all land on it).
+    """
+
+    uids: jnp.ndarray
+    ranks: jnp.ndarray
+    count: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def dedup_ids(ids: jnp.ndarray, budget: int, fill: int) -> DedupBatch:
+    """Build a DedupBatch from (possibly multi-dim) int32 ids.
+
+    Three cheap int32 sorts, no big-table access. ``budget`` is the static
+    unique capacity U; ``fill`` is the dummy row id used for unused slots.
+    """
+    shape = ids.shape
+    flat = ids.reshape(-1)
+    n = flat.shape[0]
+    pos = jax.lax.iota(jnp.int32, n)
+
+    sid, spos = jax.lax.sort((flat, pos), num_keys=1)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1      # rank in sorted
+    count = seg[-1] + 1
+    overflow = count > budget
+    seg_c = jnp.minimum(seg, budget - 1)
+
+    # natural-order ranks: unsort seg_c by original position
+    _, ranks = jax.lax.sort((spos, seg_c), num_keys=1)
+
+    # compaction: stable sort by (not boundary) brings one representative of
+    # each unique id to the front, in ascending id order (stability keeps
+    # the within-group order; boundaries are the first of each run).
+    nb = jnp.logical_not(boundary).astype(jnp.int32)
+    _, uid_sorted = jax.lax.sort((nb, sid), num_keys=1, is_stable=True)
+    take = min(budget, n)
+    uids = uid_sorted[:take]
+    if take < budget:
+        uids = jnp.concatenate(
+            [uids, jnp.full((budget - take,), fill, jnp.int32)])
+    # blank out slots beyond count
+    slot_idx = jax.lax.iota(jnp.int32, budget)
+    uids = jnp.where(slot_idx < jnp.minimum(count, budget), uids, fill)
+
+    return DedupBatch(uids=uids, ranks=ranks.reshape(shape), count=count,
+                      overflow=overflow)
+
+
+def gather_unique(table: jnp.ndarray, plan: DedupBatch) -> jnp.ndarray:
+    """(U, ...) unique rows from the big table — the only big gather."""
+    return table[plan.uids]
+
+
+def spread(rows_u: jnp.ndarray, plan: DedupBatch) -> jnp.ndarray:
+    """Per-slot rows in natural order from the small unique matrix."""
+    return rows_u[plan.ranks]
+
+
+def accumulate_to_unique(g_slots: jnp.ndarray, plan: DedupBatch,
+                         budget: int) -> jnp.ndarray:
+    """Combine per-slot gradients into per-unique-row gradients (small
+    scatter-add; the transpose of :func:`spread`)."""
+    flat_ranks = plan.ranks.reshape(-1)
+    g2 = g_slots.reshape((flat_ranks.shape[0],) + g_slots.shape[len(plan.ranks.shape):])
+    return jnp.zeros((budget,) + g2.shape[1:], g2.dtype).at[flat_ranks].add(g2)
+
+
+def scatter_set_unique(table: jnp.ndarray, plan: DedupBatch,
+                       rows_u: jnp.ndarray) -> jnp.ndarray:
+    """Write updated unique rows back. Unused budget slots point at the
+    dummy fill row, so their writes are self-overwrites of garbage there.
+
+    This is the XLA fallback; the Pallas row-writer (ops/pallas_rowio.py)
+    replaces it on TPU where XLA scatter is ~200 ns/row.
+    """
+    return table.at[plan.uids].set(
+        rows_u, unique_indices=True, indices_are_sorted=False)
+
+
+def auto_budget(n_slots: int, cap: int = 1 << 18) -> int:
+    """Static unique budget: next power of two >= n_slots, capped.
+
+    With budget >= n_slots overflow is impossible; smaller budgets trade
+    memory for a small dropped-update risk on pathological batches.
+    """
+    b = 1
+    while b < n_slots:
+        b *= 2
+    return min(b, cap)

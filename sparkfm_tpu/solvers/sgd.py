@@ -152,8 +152,45 @@ def _dense_scalar_update(opt: str, lr: float, sgd_cfg: SGDConfig,
     return x, slot, slot2
 
 
+def resolve_update_path(cfg: FMConfig, sgd_cfg: SGDConfig) -> str:
+    if sgd_cfg.update_path != "auto":
+        return sgd_cfg.update_path
+    return "dedup" if cfg.num_features >= (1 << 16) else "direct"
+
+
+def pad_state_for_dedup(state: SGDState) -> SGDState:
+    """Append one dummy row to every table (the dedup fill row; its contents
+    are garbage by design — overflow/unused-budget traffic lands there)."""
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    return SGDState(
+        params=FMParams(w0=state.params.w0, w=pad(state.params.w),
+                        v=pad(state.params.v)),
+        slot_w0=state.slot_w0, slot_w=pad(state.slot_w),
+        slot_v=pad(state.slot_v),
+        slot2_w0=state.slot2_w0, slot2_w=pad(state.slot2_w),
+        slot2_v=pad(state.slot2_v), step=state.step)
+
+
+def trim_params(params: FMParams, num_features: int) -> FMParams:
+    """Drop the dedup dummy row if present."""
+    if params.w.shape[0] == num_features + 1:
+        return FMParams(w0=params.w0, w=params.w[:num_features],
+                        v=params.v[:num_features])
+    return params
+
+
 def make_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
-    """Build the jitted sparse train step: (state, batch) -> (state, aux)."""
+    """Build the jitted sparse train step: (state, batch) -> (state, aux).
+
+    Two table-access paths (resolve_update_path): "direct" XLA
+    gather/scatter, or "dedup" (sort + unique-compact; see ops/embedding.py
+    for the measured rationale). The dedup path requires the state to be
+    padded with pad_state_for_dedup first. Both paths produce identical
+    adagrad updates (tested to ~1e-6 in tests/test_dedup.py).
+    """
+    if resolve_update_path(cfg, sgd_cfg) == "dedup":
+        return _make_dedup_train_step(cfg, sgd_cfg)
 
     def train_step(state: SGDState, batch: SparseBatch):
         p = state.params
@@ -197,5 +234,101 @@ def make_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             slot2_w0=s2w0, slot2_w=s2w, slot2_v=s2v,
             step=state.step + 1)
         return new_state, {"loss": data_loss, "scores": scores}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _make_dedup_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
+    """Dedup-path train step (see ops/embedding.py).
+
+    Exact-parity notes: the adagrad accumulator receives the per-slot
+    *squared* grads summed per unique row (sum of squares, matching the
+    direct path's duplicate-accumulating scatter), then every duplicate's
+    update uses the same post-accumulation slot — identical math, one
+    big-table touch per unique row instead of per slot.
+    """
+    from sparkfm_tpu.ops import embedding as E
+
+    ffm = cfg.num_fields > 0
+
+    def train_step(state: SGDState, batch: SparseBatch):
+        p = state.params
+        F = p.w.shape[0] - 1               # padded: last row is the dummy
+        n_slots = batch.ids.shape[0] * batch.ids.shape[1]
+        budget = sgd_cfg.unique_budget or E.auto_budget(n_slots)
+
+        plan = E.dedup_ids(batch.ids, budget, fill=F)
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(
+            plan.count, budget)
+
+        w_u = jnp.where(valid_u, p.w[plan.uids], 0.0)
+        v_u = p.v[plan.uids]
+        v_u = jnp.where(valid_u.reshape((-1,) + (1,) * (v_u.ndim - 1)),
+                        v_u, 0.0)
+
+        def loss_of(w0, w_rows, v_rows):
+            return _batch_loss_from_rows(w0, w_rows, v_rows, batch, cfg)
+
+        w_rows = E.spread(w_u, plan)
+        v_rows = E.spread(v_u, plan)
+        grads, (scores, data_loss) = jax.grad(
+            loss_of, argnums=(0, 1, 2), has_aux=True)(p.w0, w_rows, v_rows)
+        g_w0, g_wrows, g_vrows = grads
+
+        # per-unique sums of grads and squared grads (small scatters)
+        g_w_u = E.accumulate_to_unique(g_wrows, plan, budget)
+        g_v_u = E.accumulate_to_unique(g_vrows, plan, budget)
+        sq_w_u = E.accumulate_to_unique(jnp.square(g_wrows), plan, budget)
+        sq_v_u = E.accumulate_to_unique(jnp.square(g_vrows), plan, budget)
+
+        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
+
+        def unique_update(table, slot, slot2, g_u, sq_u):
+            t_u = table[plan.uids]
+            s_u = slot[plan.uids]
+            s2_u = slot2[plan.uids]
+            if opt == "adagrad":
+                s_u = s_u + sq_u
+                t_u = t_u - lr * g_u * jax.lax.rsqrt(
+                    s_u + sgd_cfg.adagrad_eps)
+            elif opt == "adam":
+                b1, b2, eps = 0.9, 0.999, 1e-8
+                s_u = b1 * s_u + (1 - b1) * g_u
+                s2_u = b2 * s2_u + (1 - b2) * jnp.square(g_u)
+                t = state.step.astype(jnp.float32) + 1.0
+                t_u = t_u - lr * (s_u / (1 - b1 ** t)) / (
+                    jnp.sqrt(s2_u / (1 - b2 ** t)) + eps)
+            else:
+                if sgd_cfg.momentum > 0:
+                    s_u = sgd_cfg.momentum * s_u + g_u
+                    t_u = t_u - lr * s_u
+                else:
+                    t_u = t_u - lr * g_u
+            table = E.scatter_set_unique(table, plan, t_u)
+            slot = E.scatter_set_unique(slot, plan, s_u)
+            if opt == "adam":
+                slot2 = E.scatter_set_unique(slot2, plan, s2_u)
+            return table, slot, slot2
+
+        w, sw, s2w = unique_update(p.w, state.slot_w, state.slot2_w,
+                                   g_w_u, sq_w_u)
+        v, sv, s2v = unique_update(p.v, state.slot_v, state.slot2_v,
+                                   g_v_u, sq_v_u)
+
+        if cfg.use_bias:
+            w0, sw0, s2w0 = _dense_scalar_update(
+                opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
+                g_w0, state.step)
+        else:
+            w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
+
+        new_state = SGDState(
+            params=FMParams(w0=w0, w=w, v=v),
+            slot_w0=sw0, slot_w=sw, slot_v=sv,
+            slot2_w0=s2w0, slot2_w=s2w, slot2_v=s2v,
+            step=state.step + 1)
+        return new_state, {"loss": data_loss, "scores": scores,
+                           "unique_count": plan.count,
+                           "unique_overflow": plan.overflow}
 
     return jax.jit(train_step, donate_argnums=(0,))

@@ -92,6 +92,8 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     """
     params = fm_model.init_params(cfg, key)
     state = sgd_solver.init_state(params)
+    if sgd_solver.resolve_update_path(cfg, sgd_cfg) == "dedup":
+        state = sgd_solver.pad_state_for_dedup(state)
     step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
     score_fn = _eval_scores_fn(cfg)
 
@@ -148,8 +150,9 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         ckpt.close()
     elapsed = time.perf_counter() - t0 - compile_time
     eps = n_examples / max(elapsed, 1e-9)
-    return TrainResult(params=state.params, history=history,
-                       examples_per_sec=eps)
+    return TrainResult(
+        params=sgd_solver.trim_params(state.params, cfg.num_features),
+        history=history, examples_per_sec=eps)
 
 
 def train_sgd_relational(cfg: FMConfig, sgd_cfg: SGDConfig, train,

@@ -1,0 +1,156 @@
+"""Dedup table-access path tests (ops/embedding.py + the dedup SGD step).
+
+The dedup path must be an exact drop-in for the direct XLA gather/scatter
+path: same math, one big-table touch per unique id.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sparkfm_tpu as sfm
+from sparkfm_tpu.config import FMConfig, SGDConfig, Task
+from sparkfm_tpu.data.batching import SparseBatch
+from sparkfm_tpu.models import fm as fm_model
+from sparkfm_tpu.ops import embedding as E
+from sparkfm_tpu.solvers import sgd as sgd_solver
+
+
+class TestDedupIds:
+    def test_plan_reconstructs_ids(self):
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, 50, (16, 7)).astype(np.int32))
+        plan = E.dedup_ids(ids, budget=64, fill=100)
+        uids = np.asarray(plan.uids)
+        ranks = np.asarray(plan.ranks)
+        np.testing.assert_array_equal(uids[ranks], np.asarray(ids))
+        assert int(plan.count) == len(np.unique(np.asarray(ids)))
+        assert not bool(plan.overflow)
+        # budget slots beyond count hold the fill id
+        assert (uids[int(plan.count):] == 100).all()
+        # unique section is sorted ascending
+        u = uids[:int(plan.count)]
+        assert (np.diff(u) > 0).all()
+
+    def test_overflow_flag(self):
+        ids = jnp.asarray(np.arange(128, dtype=np.int32).reshape(8, 16))
+        plan = E.dedup_ids(ids, budget=32, fill=999)
+        assert bool(plan.overflow)
+        # ranks are clamped into the budget
+        assert int(jnp.max(plan.ranks)) == 31
+
+    def test_spread_accumulate_adjoint(self):
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, 30, (8, 5)).astype(np.int32))
+        plan = E.dedup_ids(ids, budget=32, fill=40)
+        rows_u = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+        g = jnp.asarray(rng.normal(size=(8, 5, 4)).astype(np.float32))
+        # <spread(rows), g> == <rows, accumulate(g)>
+        lhs = jnp.sum(E.spread(rows_u, plan) * g)
+        rhs = jnp.sum(rows_u * E.accumulate_to_unique(g, plan, 32))
+        np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+def _mk_batch(rng, B, L, F):
+    return SparseBatch(
+        ids=jnp.asarray(rng.integers(0, F, (B, L)).astype(np.int32)),
+        vals=jnp.asarray(rng.normal(size=(B, L)).astype(np.float32)),
+        y=jnp.asarray(rng.normal(size=(B,)).astype(np.float32)),
+        mask=jnp.ones((B,), bool))
+
+
+class TestDedupStepParity:
+    @pytest.mark.parametrize("optimizer", ["adagrad", "sgd"])
+    def test_one_step_matches_direct(self, optimizer):
+        F, B, L, K = 200, 32, 6, 4
+        cfg = FMConfig(num_features=F, num_factors=K, reg_w=0.01,
+                       reg_v=0.01, seed=0)
+        base = SGDConfig(learning_rate=0.1, optimizer=optimizer,
+                         batch_size=B)
+        rng = np.random.default_rng(2)
+        batch = _mk_batch(rng, B, L, F)
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+        copy = lambda p: jax.tree_util.tree_map(jnp.array, p)
+
+        s_d = sgd_solver.init_state(copy(params))
+        step_d = sgd_solver.make_train_step(
+            cfg, sgd_solver.dataclasses.replace(base, update_path="direct"))
+        s_d, aux_d = step_d(s_d, batch)
+
+        s_u = sgd_solver.pad_state_for_dedup(
+            sgd_solver.init_state(copy(params)))
+        step_u = sgd_solver.make_train_step(
+            cfg, sgd_solver.dataclasses.replace(base, update_path="dedup"))
+        s_u, aux_u = step_u(s_u, batch)
+
+        np.testing.assert_allclose(float(aux_d["loss"]),
+                                   float(aux_u["loss"]), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s_u.params.w[:F]),
+                                   np.asarray(s_d.params.w), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(s_u.params.v[:F]),
+                                   np.asarray(s_d.params.v), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(s_u.slot_w[:F]),
+                                   np.asarray(s_d.slot_w), atol=2e-6)
+
+    def test_multi_step_parity_adagrad(self):
+        F, B, L, K = 128, 16, 4, 3
+        cfg = FMConfig(num_features=F, num_factors=K, reg_v=0.01, seed=1)
+        rng = np.random.default_rng(3)
+        batches = [_mk_batch(rng, B, L, F) for _ in range(5)]
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(1))
+        copy = lambda p: jax.tree_util.tree_map(jnp.array, p)
+
+        s_d = sgd_solver.init_state(copy(params))
+        step_d = sgd_solver.make_train_step(
+            cfg, SGDConfig(learning_rate=0.1, update_path="direct"))
+        s_u = sgd_solver.pad_state_for_dedup(
+            sgd_solver.init_state(copy(params)))
+        step_u = sgd_solver.make_train_step(
+            cfg, SGDConfig(learning_rate=0.1, update_path="dedup"))
+        for b in batches:
+            s_d, _ = step_d(s_d, b)
+            s_u, _ = step_u(s_u, b)
+        np.testing.assert_allclose(np.asarray(s_u.params.v[:F]),
+                                   np.asarray(s_d.params.v), atol=1e-5)
+
+    def test_ffm_dedup_parity(self):
+        F, B, L, K, NF = 96, 16, 6, 4, 6
+        cfg = FMConfig(num_features=F, num_factors=K, num_fields=NF,
+                       reg_v=0.01, seed=0)
+        rng = np.random.default_rng(5)
+        b = _mk_batch(rng, B, L, F)
+        batch = SparseBatch(ids=b.ids, vals=b.vals, y=b.y, mask=b.mask,
+                            field_ids=jnp.asarray(
+                                rng.integers(0, NF, (B, L)).astype(np.int32)))
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(2))
+        copy = lambda p: jax.tree_util.tree_map(jnp.array, p)
+        s_d = sgd_solver.init_state(copy(params))
+        step_d = sgd_solver.make_train_step(
+            cfg, SGDConfig(learning_rate=0.1, update_path="direct"))
+        s_d, _ = step_d(s_d, batch)
+        s_u = sgd_solver.pad_state_for_dedup(
+            sgd_solver.init_state(copy(params)))
+        step_u = sgd_solver.make_train_step(
+            cfg, SGDConfig(learning_rate=0.1, update_path="dedup"))
+        s_u, _ = step_u(s_u, batch)
+        np.testing.assert_allclose(np.asarray(s_u.params.v[:F]),
+                                   np.asarray(s_d.params.v), atol=2e-6)
+
+
+def test_train_sgd_dedup_end_to_end():
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.training import trainer
+
+    ds = synth.synth_movielens(num_users=40, num_items=50,
+                               num_examples=2000, seed=0)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                   reg_v=0.01, seed=0)
+    res = trainer.train_sgd(
+        cfg, SGDConfig(batch_size=256, epochs=8, learning_rate=0.1,
+                       update_path="dedup"),
+        ds, eval_ds=ds, eval_every=7)
+    rmses = [h["eval_rmse"] for h in res.history if "eval_rmse" in h]
+    assert rmses[-1] < 0.6
+    # returned params are trimmed back to logical size
+    assert res.params.w.shape[0] == ds.num_features
