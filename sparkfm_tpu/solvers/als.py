@@ -72,6 +72,10 @@ class ALSWorkspace:
     col_val: jnp.ndarray
     block_of_feat: jnp.ndarray
     den_w: jnp.ndarray
+    # Example validity (False = padding row added for even sharding). Only
+    # the bias update needs it: padded rows have all-zero vals so they
+    # contribute exactly zero to every per-feature sum already.
+    mask: jnp.ndarray = None
 
 
 def build_workspace(ds: SparseDataset, cfg: FMConfig,
@@ -107,7 +111,8 @@ def build_workspace(ds: SparseDataset, cfg: FMConfig,
         col_feat=jnp.asarray(col_feat), col_row=jnp.asarray(col_row),
         col_val=jnp.asarray(col_val),
         block_of_feat=jnp.asarray(block_of_feat),
-        den_w=jnp.asarray(den_w))
+        den_w=jnp.asarray(den_w),
+        mask=jnp.ones((n,), jnp.float32))
     return ws, num_blocks
 
 
@@ -119,42 +124,51 @@ def _guarded_theta(theta, num, den, reg):
     return jnp.where(ok, new, theta)
 
 
-@partial(jax.jit, static_argnames=("num_blocks", "num_features",
-                                   "reg0", "reg_w", "reg_v", "use_bias",
-                                   "use_linear"))
-def als_sweep(params: FMParams, ws: ALSWorkspace, num_blocks: int,
-              num_features: int, reg0: float, reg_w: float, reg_v: float,
-              use_bias: bool = True, use_linear: bool = True) -> FMParams:
-    """One full coordinate sweep: w0, all w blocks, all (factor, block)s."""
+def _sweep_impl(params: FMParams, ws: ALSWorkspace, num_blocks: int,
+                num_features: int, reg0: float, reg_w: float, reg_v: float,
+                use_bias: bool = True, use_linear: bool = True,
+                axis_name: Optional[str] = None) -> FMParams:
+    """One full coordinate sweep: w0, all w blocks, all (factor, block)s.
+
+    With ``axis_name`` set (sharded mode), examples are sharded over that
+    mesh axis: every per-feature reduction is psum'd, parameters stay
+    replicated (each shard computes identical theta updates), and residual/q
+    patches remain purely local — the collective traffic is one (F,) psum
+    per block step, replacing the reference's per-sweep driver collects
+    (ALS.scala:34,139).
+    """
     F = num_features
-    N = ws.y.shape[0]
     K = params.v.shape[-1]
+    allr = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+            else (lambda x: x))
+    mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
+    den_w_g = allr(ws.den_w)
 
     # --- residuals e = yhat - y (fresh each sweep; the reference does the
     # same distributed precompute, ALS.scala:142-144)
     e = I.fm_scores(params.w0, params.w, params.v, ws.ids, ws.vals,
                     use_bias=use_bias, use_linear=use_linear) - ws.y
 
-    # --- global bias (h == 1 for every example; ALS.scala:152-154)
+    # --- global bias (h == 1 for every valid example; ALS.scala:152-154)
     if use_bias:
-        w0_new = _guarded_theta(params.w0, jnp.sum(e), jnp.float32(N), reg0)
+        w0_new = _guarded_theta(params.w0, allr(jnp.sum(e * mask)),
+                                allr(jnp.sum(mask)), reg0)
         e = e + (w0_new - params.w0)
     else:
         w0_new = params.w0
 
-    ev = lambda arr: arr  # alias for readability
-
     # --- linear weights, blocked (h_ij = x_ij; den is constant = den_w)
     def w_block(b, carry):
         w, e = carry
-        num = jax.ops.segment_sum(e[ws.col_row] * ws.col_val, ws.col_feat,
-                                  num_segments=F, indices_are_sorted=True)
-        theta_new = _guarded_theta(w, num, ws.den_w, reg_w)
+        num = allr(jax.ops.segment_sum(
+            e[ws.col_row] * ws.col_val, ws.col_feat,
+            num_segments=F, indices_are_sorted=True))
+        theta_new = _guarded_theta(w, num, den_w_g, reg_w)
         delta = jnp.where(ws.block_of_feat == b, theta_new - w, 0.0)
         w = w + delta
-        # exact residual patch: de_i = sum_j delta_j x_ij
+        # exact residual patch: de_i = sum_j delta_j x_ij (purely local)
         de = jax.ops.segment_sum(delta[ws.col_feat] * ws.col_val, ws.col_row,
-                                 num_segments=N)
+                                 num_segments=ws.y.shape[0])
         return (w, e + de)
 
     if use_linear:
@@ -174,24 +188,27 @@ def als_sweep(params: FMParams, ws: ALSWorkspace, num_blocks: int,
         def v_block(b, carry2):
             vf, q, e = carry2
             h = ws.col_val * (q[ws.col_row] - ws.col_val * vf[ws.col_feat])
-            num = jax.ops.segment_sum(e[ws.col_row] * h, ws.col_feat,
-                                      num_segments=F, indices_are_sorted=True)
-            den = jax.ops.segment_sum(h * h, ws.col_feat,
-                                      num_segments=F, indices_are_sorted=True)
+            num = allr(jax.ops.segment_sum(
+                e[ws.col_row] * h, ws.col_feat,
+                num_segments=F, indices_are_sorted=True))
+            den = allr(jax.ops.segment_sum(
+                h * h, ws.col_feat,
+                num_segments=F, indices_are_sorted=True))
             theta_new = _guarded_theta(vf, num, den, reg_v)
             in_block = ws.block_of_feat == b
             delta = jnp.where(in_block, theta_new - vf, 0.0)
             vf_new = vf + delta
-            # exact q patch: dq_i = sum_j delta_j x_ij
+            # exact q patch: dq_i = sum_j delta_j x_ij (local)
             dq = jax.ops.segment_sum(delta[ws.col_feat] * ws.col_val,
-                                     ws.col_row, num_segments=N)
+                                     ws.col_row, num_segments=ws.y.shape[0])
             q_new = q + dq
             # exact e patch (full quadratic delta of factor f's term):
             # de = 1/2 (q_new^2 - q^2) - 1/2 sum_j (v_new^2 - v_old^2) x^2
             dsq = jnp.where(in_block,
                             jnp.square(vf_new) - jnp.square(vf), 0.0)
             de_sq = jax.ops.segment_sum(dsq[ws.col_feat] * ws.col_val ** 2,
-                                        ws.col_row, num_segments=N)
+                                        ws.col_row,
+                                        num_segments=ws.y.shape[0])
             e_new = e + 0.5 * (jnp.square(q_new) - jnp.square(q)) - 0.5 * de_sq
             return (vf_new, q_new, e_new)
 
@@ -201,6 +218,17 @@ def als_sweep(params: FMParams, ws: ALSWorkspace, num_blocks: int,
     v_new, e = jax.lax.fori_loop(0, K, factor_body, (params.v, e))
 
     return FMParams(w0=w0_new, w=w_new, v=v_new)
+
+
+@partial(jax.jit, static_argnames=("num_blocks", "num_features",
+                                   "reg0", "reg_w", "reg_v", "use_bias",
+                                   "use_linear"))
+def als_sweep(params: FMParams, ws: ALSWorkspace, num_blocks: int,
+              num_features: int, reg0: float, reg_w: float, reg_v: float,
+              use_bias: bool = True, use_linear: bool = True) -> FMParams:
+    """Single-device jitted sweep (see _sweep_impl)."""
+    return _sweep_impl(params, ws, num_blocks, num_features, reg0, reg_w,
+                       reg_v, use_bias, use_linear, axis_name=None)
 
 
 def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
