@@ -1,0 +1,251 @@
+"""DeepFM: shared-embedding FM + MLP tower (Guo et al. 2017).
+
+Stretch model family beyond the reference (which ships only second-order FM;
+BASELINE.md lists DeepFM as a target config). TPU-native design choices:
+
+  * the FM tables (w, V) double as the deep side's embedding tables — one
+    gather feeds both heads;
+  * the tower input is the (B, num_fields * K) concatenation of per-field
+    embedding rows scaled by their values, so the whole deep side is dense
+    MXU matmuls;
+  * one jitted train step updates tables sparsely (same dedup-friendly
+    row-update machinery as plain FM) and the tower densely.
+
+Assumes field-major input: ids (B, L) with exactly one active feature per
+field (the standard DeepFM/CTR layout; synth_ctr produces it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparkfm_tpu.config import FMConfig, SGDConfig, Task
+from sparkfm_tpu.data.batching import SparseBatch
+from sparkfm_tpu.models import fm as fm_model
+from sparkfm_tpu.models.fm import FMParams
+from sparkfm_tpu.ops import interaction as I
+from sparkfm_tpu.ops import losses as L
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepFMConfig:
+    """fm: base tables/shape; hidden: tower widths (final scalar layer is
+    implicit)."""
+
+    fm: FMConfig
+    hidden: Tuple[int, ...] = (128, 64)
+
+    @property
+    def tower_in(self) -> int:
+        # one embedding row per slot; L is data-dependent, so the tower is
+        # built for a fixed num_fields worth of slots
+        return self.num_fields * self.fm.num_factors
+
+    @property
+    def num_fields(self) -> int:
+        if self.fm.num_fields <= 0:
+            raise ValueError("DeepFMConfig requires fm.num_fields > 0 "
+                             "(slots-per-example = field count)")
+        return self.fm.num_fields
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeepFMParams:
+    fm: FMParams
+    mlp_w: tuple     # tuple of (in, out) f32
+    mlp_b: tuple     # tuple of (out,) f32
+
+
+def init_params(cfg: DeepFMConfig,
+                key: Optional[jax.Array] = None) -> DeepFMParams:
+    if key is None:
+        key = jax.random.PRNGKey(cfg.fm.seed)
+    k_fm, k_mlp = jax.random.split(key)
+    # Plain-FM table init; the FFM num_fields knob must NOT widen V here —
+    # DeepFM uses a single shared (F, K) table.
+    base = cfg.fm.replace(num_fields=0)
+    fm_params = fm_model.init_params(base, k_fm)
+    dims = (cfg.tower_in,) + tuple(cfg.hidden) + (1,)
+    ws, bs = [], []
+    for i in range(len(dims) - 1):
+        k_mlp, k = jax.random.split(k_mlp)
+        # He init for relu layers
+        ws.append(jax.random.normal(k, (dims[i], dims[i + 1]), jnp.float32)
+                  * jnp.sqrt(2.0 / dims[i]))
+        bs.append(jnp.zeros((dims[i + 1],), jnp.float32))
+    return DeepFMParams(fm=fm_params, mlp_w=tuple(ws), mlp_b=tuple(bs))
+
+
+def _tower(params: DeepFMParams, emb_flat: jnp.ndarray) -> jnp.ndarray:
+    h = emb_flat
+    n = len(params.mlp_w)
+    for i, (w, b) in enumerate(zip(params.mlp_w, params.mlp_b)):
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if i < n - 1:
+            h = jax.nn.relu(h)
+    return h[:, 0]
+
+
+def scores_from_rows(params: DeepFMParams, cfg: DeepFMConfig,
+                     w_rows, v_rows, vals) -> jnp.ndarray:
+    """FM head + deep head from gathered rows (B, L[, K])."""
+    fm_s = I.fm_scores_from_gathered(
+        params.fm.w0, w_rows, v_rows, vals,
+        use_bias=cfg.fm.use_bias, use_linear=cfg.fm.use_linear,
+        compute_dtype=jnp.dtype(cfg.fm.compute_dtype))
+    b = vals.shape[0]
+    emb = (v_rows * vals[..., None]).reshape(b, -1)
+    return fm_s + _tower(params, emb)
+
+
+def scores(params: DeepFMParams, cfg: DeepFMConfig,
+           ids, vals) -> jnp.ndarray:
+    return scores_from_rows(params, cfg, params.fm.w[ids],
+                            params.fm.v[ids], vals)
+
+
+def predict(params: DeepFMParams, cfg: DeepFMConfig, ids, vals):
+    return L.predict_for_task(cfg.fm.task, scores(params, cfg, ids, vals))
+
+
+def make_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
+    """Jitted step: sparse adagrad on tables + dense update on the tower."""
+    from sparkfm_tpu.solvers import sgd as sgd_solver
+
+    fm_cfg = cfg.fm
+
+    def train_step(state, batch: SparseBatch):
+        p: DeepFMParams = state["params"]
+        slots = state["slots"]
+        ids = batch.ids
+        bsz, lq = ids.shape
+        ids_flat = ids.reshape(-1)
+
+        w_rows = p.fm.w[ids]
+        v_rows = p.fm.v[ids]
+
+        def loss_of(w0, w_rows, v_rows, mlp_w, mlp_b):
+            pp = DeepFMParams(fm=FMParams(w0=w0, w=p.fm.w, v=p.fm.v),
+                              mlp_w=mlp_w, mlp_b=mlp_b)
+            s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
+            loss_fn = L.loss_for_task(fm_cfg.task)
+            wts = None if batch.mask is None else batch.mask.astype(
+                jnp.float32)
+            data_loss = loss_fn(s, batch.y, wts)
+            active = (batch.vals != 0).astype(jnp.float32)
+            if batch.mask is not None:
+                active = active * batch.mask[:, None]
+            denom = jnp.maximum(jnp.sum(batch.mask.astype(jnp.float32))
+                                if batch.mask is not None else float(bsz),
+                                1.0)
+            reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
+                   + fm_cfg.reg_v * jnp.sum(
+                       jnp.square(v_rows) * active[..., None])) / denom
+            return data_loss + reg, data_loss
+
+        grads, data_loss = jax.grad(
+            loss_of, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            p.fm.w0, w_rows, v_rows, p.mlp_w, p.mlp_b)
+        g_w0, g_wrows, g_vrows, g_mw, g_mb = grads
+
+        lr = sgd_cfg.learning_rate
+        w, sw, _ = sgd_solver._row_update(
+            "adagrad", lr, sgd_cfg, p.fm.w, slots["w"], None,
+            ids_flat, g_wrows.reshape(-1), None)
+        v, sv, _ = sgd_solver._row_update(
+            "adagrad", lr, sgd_cfg, p.fm.v, slots["v"], None,
+            ids_flat, g_vrows.reshape(bsz * lq, -1), None)
+        w0, sw0, _ = sgd_solver._dense_scalar_update(
+            "adagrad", lr, sgd_cfg, p.fm.w0, slots["w0"], None, g_w0, None)
+
+        def dense_adagrad(x, s, g):
+            s = s + jnp.square(g)
+            return x - lr * g * jax.lax.rsqrt(s + sgd_cfg.adagrad_eps), s
+
+        new_mw, new_smw, new_mb, new_smb = [], [], [], []
+        for x, s, g in zip(p.mlp_w, slots["mw"], g_mw):
+            x2, s2 = dense_adagrad(x, s, g)
+            new_mw.append(x2); new_smw.append(s2)
+        for x, s, g in zip(p.mlp_b, slots["mb"], g_mb):
+            x2, s2 = dense_adagrad(x, s, g)
+            new_mb.append(x2); new_smb.append(s2)
+
+        new_state = {
+            "params": DeepFMParams(fm=FMParams(w0=w0, w=w, v=v),
+                                   mlp_w=tuple(new_mw), mlp_b=tuple(new_mb)),
+            "slots": {"w0": sw0, "w": sw, "v": sv,
+                      "mw": tuple(new_smw), "mb": tuple(new_smb)},
+        }
+        return new_state, {"loss": data_loss}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def init_state(params: DeepFMParams) -> dict:
+    z = lambda x: jnp.zeros_like(x)
+    return {"params": params,
+            "slots": {"w0": z(params.fm.w0), "w": z(params.fm.w),
+                      "v": z(params.fm.v),
+                      "mw": tuple(z(x) for x in params.mlp_w),
+                      "mb": tuple(z(x) for x in params.mlp_b)}}
+
+
+def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
+                 eval_ds=None, eval_every: int = 1,
+                 key: Optional[jax.Array] = None):
+    """Mini training loop mirroring trainer.train_sgd for DeepFM."""
+    import time
+
+    import numpy as np
+
+    from sparkfm_tpu.data.batching import batch_iterator
+    from sparkfm_tpu.ops import metrics as MM
+    from sparkfm_tpu.training.trainer import TrainResult
+
+    params = init_params(cfg, key)
+    state = init_state(params)
+    step_fn = make_train_step(cfg, sgd_cfg)
+    score_jit = jax.jit(lambda p, i, v: scores(p, cfg, i, v))
+
+    def eval_metrics(p, ds):
+        outs = []
+        for b in batch_iterator(ds, sgd_cfg.batch_size, shuffle=False):
+            s = score_jit(p, b.ids, b.vals)
+            nv = int(np.sum(np.asarray(b.mask)))
+            outs.append(np.asarray(s)[:nv])
+        s = np.concatenate(outs)
+        y = ds.y[:len(s)]
+        if cfg.fm.task == Task.REGRESSION:
+            return {"rmse": float(np.sqrt(np.mean((s - y) ** 2)))}
+        prob = 1 / (1 + np.exp(-s))
+        y01 = (y > 0).astype(np.float64)
+        return {"auc": float(MM.auc(jnp.asarray(s), jnp.asarray(y))),
+                "accuracy": float(np.mean((prob >= .5) == (y01 > .5)))}
+
+    history = []
+    n = 0
+    t0 = time.perf_counter()
+    for epoch in range(sgd_cfg.epochs):
+        losses = []
+        for batch in batch_iterator(train, sgd_cfg.batch_size,
+                                    shuffle=sgd_cfg.shuffle_each_epoch,
+                                    seed=cfg.fm.seed, epoch=epoch):
+            state, aux = step_fn(state, batch)
+            losses.append(aux["loss"])
+            n += batch.batch_size
+        rec = {"epoch": epoch,
+               "train_loss": float(jnp.mean(jnp.stack(losses)))}
+        if eval_ds is not None and (epoch % eval_every == 0
+                                    or epoch == sgd_cfg.epochs - 1):
+            rec.update({f"eval_{k}": v
+                        for k, v in eval_metrics(state["params"],
+                                                 eval_ds).items()})
+        history.append(rec)
+    eps = n / max(time.perf_counter() - t0, 1e-9)
+    return TrainResult(params=state["params"], history=history,
+                       examples_per_sec=eps)

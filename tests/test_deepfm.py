@@ -1,0 +1,81 @@
+"""DeepFM model tests (shared-embedding FM + MLP tower)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparkfm_tpu.config import FMConfig, SGDConfig, Task
+from sparkfm_tpu.data import synth
+from sparkfm_tpu.models import deepfm
+from sparkfm_tpu.models.deepfm import DeepFMConfig
+
+
+def _cfg(F=1 << 12, fields=8, K=8):
+    return DeepFMConfig(
+        fm=FMConfig(num_features=F, num_factors=K, num_fields=fields,
+                    task=Task.CLASSIFICATION, reg_v=1e-6, seed=0),
+        hidden=(32, 16))
+
+
+def test_init_shapes():
+    cfg = _cfg()
+    p = deepfm.init_params(cfg, jax.random.PRNGKey(0))
+    assert p.fm.v.shape == (cfg.fm.num_features, cfg.fm.num_factors)
+    assert p.mlp_w[0].shape == (cfg.num_fields * cfg.fm.num_factors, 32)
+    assert p.mlp_w[-1].shape == (16, 1)
+
+
+def test_scores_finite_and_tower_contributes():
+    cfg = _cfg()
+    p = deepfm.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.fm.num_features,
+                                   (16, cfg.num_fields)).astype(np.int32))
+    vals = jnp.ones((16, cfg.num_fields), jnp.float32)
+    s = deepfm.scores(p, cfg, ids, vals)
+    assert np.all(np.isfinite(np.asarray(s)))
+    # zeroing the tower changes the score (deep head is live)
+    p2 = deepfm.DeepFMParams(
+        fm=p.fm,
+        mlp_w=tuple(jnp.zeros_like(w) for w in p.mlp_w),
+        mlp_b=tuple(jnp.zeros_like(b) for b in p.mlp_b))
+    s2 = deepfm.scores(p2, cfg, ids, vals)
+    assert not np.allclose(np.asarray(s), np.asarray(s2))
+
+
+def test_train_step_updates_everything():
+    cfg = _cfg(F=256, fields=4, K=4)
+    from sparkfm_tpu.data.batching import SparseBatch
+    p = deepfm.init_params(cfg, jax.random.PRNGKey(1))
+    # snapshot before the step: the donated state reuses p's buffers
+    before = jax.tree_util.tree_map(np.asarray, p)
+    state = deepfm.init_state(p)
+    step = deepfm.make_train_step(cfg, SGDConfig(learning_rate=0.1))
+    rng = np.random.default_rng(1)
+    batch = SparseBatch(
+        ids=jnp.asarray(rng.integers(0, 256, (32, 4)).astype(np.int32)),
+        vals=jnp.ones((32, 4), jnp.float32),
+        y=jnp.asarray(rng.integers(0, 2, (32,)).astype(np.float32)),
+        mask=jnp.ones((32,), bool))
+    state2, aux = step(state, batch)
+    assert np.isfinite(float(aux["loss"]))
+    pp = state2["params"]
+    assert not np.allclose(np.asarray(pp.mlp_w[0]), before.mlp_w[0])
+    assert not np.allclose(np.asarray(pp.fm.v), before.fm.v)
+    assert float(pp.fm.w0) != float(before.fm.w0)
+
+
+def test_deepfm_learns_ctr():
+    ds = synth.synth_ctr(num_examples=12000, num_fields=8,
+                         num_buckets=1 << 14, seed=0)
+    cfg = DeepFMConfig(
+        fm=FMConfig(num_features=ds.num_features, num_factors=8,
+                    num_fields=8, task=Task.CLASSIFICATION,
+                    reg_v=1e-6, seed=0),
+        hidden=(64, 32))
+    res = deepfm.train_deepfm(
+        cfg, SGDConfig(batch_size=1024, epochs=4, learning_rate=0.05),
+        ds, eval_ds=ds, eval_every=3)
+    aucs = [h["eval_auc"] for h in res.history if "eval_auc" in h]
+    assert aucs[-1] > 0.8, aucs
+    assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
