@@ -55,13 +55,19 @@ def load_libfm(path: str, num_features: int = -1,
     """
     try:
         from sparkfm_tpu.data import native_io
-        parsed = native_io.parse_libfm(path)
+        parsed = native_io.parse_libfm_padded(path, max_nnz=max_nnz)
     except (ImportError, OSError):
         parsed = None
     if parsed is not None:
-        labels, idx_rows, val_rows = parsed
-    else:
-        labels, idx_rows, val_rows = _parse_lines_python(path)
+        # Native fast path: arrays arrive already padded — no per-row loop.
+        y, ids, vals, max_idx = parsed
+        if len(y) == 0:
+            raise ValueError(f"no examples in {path}")
+        if num_features <= 0:
+            num_features = max_idx + 1
+        return SparseDataset(ids=ids, vals=vals, y=y,
+                             num_features=num_features)
+    labels, idx_rows, val_rows = _parse_lines_python(path)
     n = len(labels)
     if n == 0:
         raise ValueError(f"no examples in {path}")
