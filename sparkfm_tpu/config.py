@@ -90,6 +90,10 @@ class SGDConfig:
     # Static unique-id budget U for the dedup path; 0 = next power of two
     # >= batch nnz slots (no overflow possible), capped at 2^18.
     unique_budget: int = 0
+    # Write-back kernel for the dedup path's unique rows:
+    #   "auto"   — Pallas per-row DMA writer on TPU, XLA scatter elsewhere
+    #   "pallas" | "xla" | "interpret" — force a specific implementation
+    pallas_scatter: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -248,8 +248,10 @@ def _make_dedup_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
     big-table touch per unique row instead of per slot.
     """
     from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.ops import pallas_rowio as PR
 
     ffm = cfg.num_fields > 0
+    scatter_mode = sgd_cfg.pallas_scatter
 
     def train_step(state: SGDState, batch: SparseBatch):
         p = state.params
@@ -304,10 +306,11 @@ def _make_dedup_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
                     t_u = t_u - lr * s_u
                 else:
                     t_u = t_u - lr * g_u
-            table = E.scatter_set_unique(table, plan, t_u)
-            slot = E.scatter_set_unique(slot, plan, s_u)
+            table = PR.scatter_set(table, plan.uids, t_u, force=scatter_mode)
+            slot = PR.scatter_set(slot, plan.uids, s_u, force=scatter_mode)
             if opt == "adam":
-                slot2 = E.scatter_set_unique(slot2, plan, s2_u)
+                slot2 = PR.scatter_set(slot2, plan.uids, s2_u,
+                                       force=scatter_mode)
             return table, slot, slot2
 
         w, sw, s2w = unique_update(p.w, state.slot_w, state.slot2_w,

@@ -93,6 +93,27 @@ class TestDedupStepParity:
         np.testing.assert_allclose(np.asarray(s_u.slot_w[:F]),
                                    np.asarray(s_d.slot_w), atol=2e-6)
 
+    def test_pallas_writer_parity(self):
+        """Dedup step with the Pallas row-writer (interpret mode) ==
+        dedup step with XLA scatter-set."""
+        F, B, L, K = 150, 16, 5, 4
+        cfg = FMConfig(num_features=F, num_factors=K, reg_v=0.01, seed=0)
+        rng = np.random.default_rng(7)
+        batch = _mk_batch(rng, B, L, F)
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(3))
+        copy = lambda p: jax.tree_util.tree_map(jnp.array, p)
+        outs = {}
+        for mode in ["xla", "interpret"]:
+            s = sgd_solver.pad_state_for_dedup(
+                sgd_solver.init_state(copy(params)))
+            step = sgd_solver.make_train_step(
+                cfg, SGDConfig(learning_rate=0.1, update_path="dedup",
+                               pallas_scatter=mode))
+            s, _ = step(s, batch)
+            outs[mode] = np.asarray(s.params.v[:F])
+        np.testing.assert_allclose(outs["interpret"], outs["xla"],
+                                   atol=1e-6)
+
     def test_multi_step_parity_adagrad(self):
         F, B, L, K = 128, 16, 4, 3
         cfg = FMConfig(num_features=F, num_factors=K, reg_v=0.01, seed=1)
