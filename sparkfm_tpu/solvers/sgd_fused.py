@@ -1,0 +1,168 @@
+"""Fused-record SGD: all per-feature state in one 128-lane row.
+
+On TPU, every sparse-table touch pays a per-row cost (measured: XLA gather
+~40 ns/row, XLA scatter ~200-385 ns/row, the Pallas row-writer ~115 ns/row —
+all overhead-bound, nearly independent of row width up to a 512B lane tile).
+The classic layout (separate w, v, slot_w, slot_v tables) therefore pays
+that cost 4x per unique feature. This module fuses them:
+
+    record[f] = [ v[f] (K) | slot_v[f] (K) | w[f] (1) | slot_w[f] (1) | pad ]
+
+one (F+1, W) f32 table with W = 128 * ceil((2K+2)/128) — the TPU lane tile.
+A train step does ONE unique-row gather and ONE row write-back for the
+entire optimizer state. Updates are identical in exact arithmetic to the
+direct XLA path for adagrad/sgd (same sum / sum-of-squares accumulation as
+solvers/sgd.py's dedup path); adam is not offered here (its slots would
+need a wider record — use update_path="dedup").
+
+The physical HBM layout of a (F, K) f32 array on TPU is already padded to
+128 lanes, so for K <= 63 the fused record costs no more memory than the
+separate v + slot_v tables it replaces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparkfm_tpu.config import FMConfig, SGDConfig
+from sparkfm_tpu.data.batching import SparseBatch
+from sparkfm_tpu.models.fm import FMParams
+from sparkfm_tpu.ops import embedding as E
+from sparkfm_tpu.ops import pallas_rowio as PR
+from sparkfm_tpu.solvers import sgd as sgd_solver
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FusedState:
+    """Fused sparse state + dense scalars. ``table`` rows: see module doc.
+    The last row (index F) is the dedup dummy row (garbage by contract)."""
+
+    table: jnp.ndarray          # (F+1, W) f32
+    w0: jnp.ndarray
+    slot_w0: jnp.ndarray
+    step: jnp.ndarray
+
+
+def record_width(num_factors: int) -> int:
+    need = 2 * num_factors + 2
+    return ((need + 127) // 128) * 128
+
+
+def init_fused_state(cfg: FMConfig,
+                     key: Optional[jax.Array] = None) -> FusedState:
+    """Initialize from a fresh FMParams draw (same keyed init as the
+    separate-table path)."""
+    from sparkfm_tpu.models import fm as fm_model
+    if cfg.num_fields > 0:
+        raise ValueError("fused path supports plain FM (use dedup for FFM)")
+    params = fm_model.init_params(cfg, key)
+    return fused_from_params(params, cfg)
+
+
+def fused_from_params(params: FMParams, cfg: FMConfig) -> FusedState:
+    k = cfg.num_factors
+    f = cfg.num_features
+    w = record_width(k)
+    table = jnp.zeros((f + 1, w), jnp.float32)
+    table = table.at[:f, :k].set(params.v.astype(jnp.float32))
+    table = table.at[:f, 2 * k].set(params.w.astype(jnp.float32))
+    return FusedState(table=table, w0=jnp.asarray(params.w0, jnp.float32),
+                      slot_w0=jnp.zeros((), jnp.float32),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def params_from_fused(state: FusedState, cfg: FMConfig) -> FMParams:
+    k = cfg.num_factors
+    f = cfg.num_features
+    return FMParams(w0=state.w0,
+                    w=state.table[:f, 2 * k],
+                    v=state.table[:f, :k])
+
+
+def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
+    """(FusedState, SparseBatch) -> (FusedState, aux). adagrad / plain sgd."""
+    if sgd_cfg.optimizer not in ("adagrad", "sgd"):
+        raise ValueError("fused path supports adagrad/sgd; use "
+                         "update_path='dedup' for adam/momentum")
+    if sgd_cfg.momentum > 0 and sgd_cfg.optimizer == "sgd":
+        raise ValueError("fused path: momentum not supported")
+    k = cfg.num_factors
+    scatter_mode = sgd_cfg.pallas_scatter
+
+    def train_step(state: FusedState, batch: SparseBatch):
+        F = state.table.shape[0] - 1
+        n_slots = batch.ids.shape[0] * batch.ids.shape[1]
+        budget = sgd_cfg.unique_budget or E.auto_budget(n_slots)
+
+        plan = E.dedup_ids(batch.ids, budget, fill=F)
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(
+            plan.count, budget)
+
+        # ---- ONE big-table gather for the whole working set
+        rec_u = state.table[plan.uids]                       # (U, W)
+        rec_u = jnp.where(valid_u[:, None], rec_u, 0.0)
+        v_u = rec_u[:, :k]
+        slot_v_u = rec_u[:, k:2 * k]
+        w_u = rec_u[:, 2 * k]
+        slot_w_u = rec_u[:, 2 * k + 1]
+
+        def loss_of(w0, w_rows, v_rows):
+            return sgd_solver._batch_loss_from_rows(
+                w0, w_rows, v_rows, batch, cfg)
+
+        w_rows = E.spread(w_u, plan)
+        v_rows = E.spread(v_u, plan)
+        grads, (scores, data_loss) = jax.grad(
+            loss_of, argnums=(0, 1, 2), has_aux=True)(
+            state.w0, w_rows, v_rows)
+        g_w0, g_wrows, g_vrows = grads
+
+        # ---- ONE small scatter for [g_v | g_v^2 | g_w | g_w^2]
+        packed = jnp.concatenate(
+            [g_vrows, jnp.square(g_vrows), g_wrows[..., None],
+             jnp.square(g_wrows)[..., None]], axis=-1)       # (B, L, 2k+2)
+        acc = E.accumulate_to_unique(packed, plan, budget)   # (U, 2k+2)
+        g_v_u, sq_v_u = acc[:, :k], acc[:, k:2 * k]
+        g_w_u, sq_w_u = acc[:, 2 * k], acc[:, 2 * k + 1]
+
+        lr = sgd_cfg.learning_rate
+        if sgd_cfg.optimizer == "adagrad":
+            slot_v_new = slot_v_u + sq_v_u
+            v_new = v_u - lr * g_v_u * jax.lax.rsqrt(
+                slot_v_new + sgd_cfg.adagrad_eps)
+            slot_w_new = slot_w_u + sq_w_u
+            w_new = w_u - lr * g_w_u * jax.lax.rsqrt(
+                slot_w_new + sgd_cfg.adagrad_eps)
+        else:
+            slot_v_new, slot_w_new = slot_v_u, slot_w_u
+            v_new = v_u - lr * g_v_u
+            w_new = w_u - lr * g_w_u
+
+        pad = state.table.shape[1] - (2 * k + 2)
+        rec_new = jnp.concatenate(
+            [v_new, slot_v_new, w_new[:, None], slot_w_new[:, None],
+             jnp.zeros((budget, pad), jnp.float32)], axis=1)
+
+        # ---- ONE big-table write-back
+        table = PR.scatter_set(state.table, plan.uids, rec_new,
+                               force=scatter_mode)
+
+        if cfg.use_bias:
+            w0, sw0, _ = sgd_solver._dense_scalar_update(
+                sgd_cfg.optimizer, lr, sgd_cfg, state.w0, state.slot_w0,
+                None, g_w0, state.step)
+        else:
+            w0, sw0 = state.w0, state.slot_w0
+
+        new_state = FusedState(table=table, w0=w0, slot_w0=sw0,
+                               step=state.step + 1)
+        return new_state, {"loss": data_loss, "scores": scores,
+                           "unique_count": plan.count,
+                           "unique_overflow": plan.overflow}
+
+    return jax.jit(train_step, donate_argnums=(0,))

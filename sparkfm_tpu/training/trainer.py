@@ -90,11 +90,19 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     (seed, epoch)-keyed batch order — a resumed run reproduces an
     uninterrupted one exactly (tests/test_checkpoint.py).
     """
-    params = fm_model.init_params(cfg, key)
-    state = sgd_solver.init_state(params)
-    if sgd_solver.resolve_update_path(cfg, sgd_cfg) == "dedup":
-        state = sgd_solver.pad_state_for_dedup(state)
-    step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
+    path = sgd_solver.resolve_update_path(cfg, sgd_cfg)
+    if path == "fused":
+        from sparkfm_tpu.solvers import sgd_fused
+        state = sgd_fused.init_fused_state(cfg, key)
+        step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        get_params = lambda s: sgd_fused.params_from_fused(s, cfg)
+    else:
+        params = fm_model.init_params(cfg, key)
+        state = sgd_solver.init_state(params)
+        if path == "dedup":
+            state = sgd_solver.pad_state_for_dedup(state)
+        step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
+        get_params = lambda s: s.params
     score_fn = _eval_scores_fn(cfg)
 
     history: List[Dict[str, float]] = []
@@ -133,7 +141,7 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         if eval_ds is not None and (epoch % eval_every == 0
                                     or epoch == sgd_cfg.epochs - 1):
             rec.update({f"eval_{k}": v for k, v in evaluate(
-                state.params, cfg, eval_ds, sgd_cfg.batch_size,
+                get_params(state), cfg, eval_ds, sgd_cfg.batch_size,
                 score_fn).items()})
         history.append(rec)
         log.info("epoch %d: %s", epoch,
@@ -151,7 +159,7 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     elapsed = time.perf_counter() - t0 - compile_time
     eps = n_examples / max(elapsed, 1e-9)
     return TrainResult(
-        params=sgd_solver.trim_params(state.params, cfg.num_features),
+        params=sgd_solver.trim_params(get_params(state), cfg.num_features),
         history=history, examples_per_sec=eps)
 
 

@@ -159,6 +159,71 @@ class TestDedupStepParity:
                                    np.asarray(s_d.params.v), atol=2e-6)
 
 
+class TestFusedPath:
+    def test_fused_step_matches_direct_adagrad(self):
+        from sparkfm_tpu.solvers import sgd_fused
+        F, B, L, K = 180, 32, 6, 4
+        cfg = FMConfig(num_features=F, num_factors=K, reg_w=0.01,
+                       reg_v=0.01, seed=0)
+        rng = np.random.default_rng(11)
+        batches = [_mk_batch(rng, B, L, F) for _ in range(3)]
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+        copy = lambda p: jax.tree_util.tree_map(jnp.array, p)
+
+        s_d = sgd_solver.init_state(copy(params))
+        step_d = sgd_solver.make_train_step(
+            cfg, SGDConfig(learning_rate=0.1, update_path="direct"))
+        s_f = sgd_fused.fused_from_params(copy(params), cfg)
+        step_f = sgd_fused.make_fused_train_step(
+            cfg, SGDConfig(learning_rate=0.1, update_path="fused"))
+        for b in batches:
+            s_d, aux_d = step_d(s_d, b)
+            s_f, aux_f = step_f(s_f, b)
+        np.testing.assert_allclose(float(aux_f["loss"]),
+                                   float(aux_d["loss"]), rtol=1e-6)
+        p_f = sgd_fused.params_from_fused(s_f, cfg)
+        np.testing.assert_allclose(np.asarray(p_f.w), np.asarray(s_d.params.w),
+                                   atol=2e-6)
+        np.testing.assert_allclose(np.asarray(p_f.v), np.asarray(s_d.params.v),
+                                   atol=2e-6)
+        np.testing.assert_allclose(float(p_f.w0), float(s_d.params.w0),
+                                   rtol=1e-5)
+
+    def test_fused_roundtrip_params(self):
+        from sparkfm_tpu.solvers import sgd_fused
+        cfg = FMConfig(num_features=50, num_factors=6, seed=3)
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(3))
+        st = sgd_fused.fused_from_params(params, cfg)
+        assert st.table.shape == (51, 128)
+        back = sgd_fused.params_from_fused(st, cfg)
+        np.testing.assert_allclose(np.asarray(back.v), np.asarray(params.v))
+        np.testing.assert_allclose(np.asarray(back.w), np.asarray(params.w))
+
+    def test_fused_end_to_end_training(self):
+        from sparkfm_tpu.data import synth
+        from sparkfm_tpu.training import trainer
+        ds = synth.synth_movielens(num_users=40, num_items=50,
+                                   num_examples=2000, seed=0)
+        cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                       reg_v=0.01, seed=0)
+        res = trainer.train_sgd(
+            cfg, SGDConfig(batch_size=256, epochs=8, learning_rate=0.1,
+                           update_path="fused"),
+            ds, eval_ds=ds, eval_every=7)
+        rmses = [h["eval_rmse"] for h in res.history if "eval_rmse" in h]
+        assert rmses[-1] < 0.6
+        assert res.params.w.shape[0] == ds.num_features
+
+    def test_fused_rejects_adam_and_ffm(self):
+        from sparkfm_tpu.solvers import sgd_fused
+        cfg = FMConfig(num_features=32, num_factors=4)
+        with pytest.raises(ValueError):
+            sgd_fused.make_fused_train_step(
+                cfg, SGDConfig(optimizer="adam"))
+        with pytest.raises(ValueError):
+            sgd_fused.init_fused_state(cfg.replace(num_fields=3))
+
+
 def test_train_sgd_dedup_end_to_end():
     from sparkfm_tpu.data import synth
     from sparkfm_tpu.training import trainer
