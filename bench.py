@@ -21,7 +21,7 @@ Env knobs (all optional):
   BENCH_RANK      factors         (default 32)
   BENCH_STEPS     timed steps     (default 30)
   BENCH_DIST      id distribution: zipf (default; Criteo-like) | uniform
-  BENCH_PATH      update path: auto (default) | direct | dedup
+  BENCH_PATH      update path: auto (default) | direct | dedup | fused
 """
 
 import json
@@ -53,11 +53,19 @@ def main():
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
                         optimizer="adagrad", update_path=path)
 
-    params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
-    state = sgd_solver.init_state(params)
-    if sgd_solver.resolve_update_path(cfg, sgd_cfg) == "dedup":
-        state = sgd_solver.pad_state_for_dedup(state)
-    step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
+    resolved = sgd_solver.resolve_update_path(cfg, sgd_cfg)
+    if resolved == "fused":
+        from sparkfm_tpu.solvers import sgd_fused
+        state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+        step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        final_scalar = lambda s: s.w0
+    else:
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+        state = sgd_solver.init_state(params)
+        if resolved == "dedup":
+            state = sgd_solver.pad_state_for_dedup(state)
+        step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
+        final_scalar = lambda s: s.params.w0
 
     # Measure RPC/fetch latency with a trivial dependent fetch.
     tiny = jax.jit(lambda x: x + 1)
@@ -92,15 +100,15 @@ def main():
 
     # Warmup / compile; force real completion with a dependent fetch.
     state, aux = step_fn(state, batches[0])
-    _ = float(aux["loss"]) + float(state.params.w0)
+    _ = float(aux["loss"]) + float(final_scalar(state))
     for i in range(2):
         state, aux = step_fn(state, batches[(i + 1) % n_batches])
-    _ = float(aux["loss"]) + float(state.params.w0)
+    _ = float(aux["loss"]) + float(final_scalar(state))
 
     t0 = time.perf_counter()
     for i in range(steps):
         state, aux = step_fn(state, batches[i % n_batches])
-    final = float(aux["loss"]) + float(state.params.w0)
+    final = float(aux["loss"]) + float(final_scalar(state))
     dt = time.perf_counter() - t0 - rpc_lat
     assert np.isfinite(final)
 

@@ -153,9 +153,17 @@ def _dense_scalar_update(opt: str, lr: float, sgd_cfg: SGDConfig,
 
 
 def resolve_update_path(cfg: FMConfig, sgd_cfg: SGDConfig) -> str:
+    """auto policy: small tables -> direct XLA; big tables -> fused-record
+    (one gather + one row-DMA write per unique id; solvers/sgd_fused.py)
+    when the model/optimizer fit its layout, else dedup."""
     if sgd_cfg.update_path != "auto":
         return sgd_cfg.update_path
-    return "dedup" if cfg.num_features >= (1 << 16) else "direct"
+    if cfg.num_features < (1 << 16):
+        return "direct"
+    if (cfg.num_fields == 0 and sgd_cfg.optimizer in ("adagrad", "sgd")
+            and sgd_cfg.momentum == 0):
+        return "fused"
+    return "dedup"
 
 
 def pad_state_for_dedup(state: SGDState) -> SGDState:
@@ -189,8 +197,14 @@ def make_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
     padded with pad_state_for_dedup first. Both paths produce identical
     adagrad updates (tested to ~1e-6 in tests/test_dedup.py).
     """
-    if resolve_update_path(cfg, sgd_cfg) == "dedup":
+    path = resolve_update_path(cfg, sgd_cfg)
+    if path == "dedup":
         return _make_dedup_train_step(cfg, sgd_cfg)
+    if path == "fused":
+        raise ValueError(
+            "resolved update path is 'fused', which uses a FusedState — "
+            "build it with sparkfm_tpu.solvers.sgd_fused instead (the "
+            "trainer does this automatically)")
 
     def train_step(state: SGDState, batch: SparseBatch):
         p = state.params
