@@ -88,7 +88,8 @@ def cmd_train(args) -> int:
             solver=args.solver, reg0=args.reg0, reg_w=args.reg_w,
             reg_v=args.reg_v, init_stdev=args.init_stdev, seed=args.seed,
             learning_rate=args.lr, batch_size=args.batch_size,
-            optimizer=args.optimizer, eval_every=args.eval_every)
+            optimizer=args.optimizer, num_fields=args.fields,
+            eval_every=args.eval_every)
     model = fm.fit(train, eval_ds=test, checkpoint_dir=args.checkpoint_dir)
 
     out = {"examples_per_sec": round(model.examples_per_sec, 1),
@@ -218,6 +219,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--init-stdev", type=float, default=0.01)
     t.add_argument("--lr", type=float, default=0.05)
     t.add_argument("--batch-size", type=int, default=8192)
+    t.add_argument("--fields", type=int, default=0,
+                   help="FFM: number of fields (>0 enables field-aware "
+                        "factors; --synth ctr emits per-field ids)")
     t.add_argument("--optimizer", default="adagrad",
                    choices=["adagrad", "sgd", "adam"])
     t.add_argument("--eval-every", type=int, default=1)

@@ -106,6 +106,14 @@ class TestCLI:
                                  "--libfm", out_libfm])
         assert res["rmse"] < 0.6
 
+    def test_train_ffm_via_cli(self, capsys):
+        res = self._run(capsys, [
+            "train", "--synth", "ctr", "--synth-examples", "3000",
+            "--task", "classification", "--solver", "sgd",
+            "--factors", "4", "--fields", "16", "--iters", "2",
+            "--reg-v", "1e-6", "--batch-size", "512", "--split", "0.8,0.2"])
+        assert 0.4 <= res["test_auc"] <= 1.0
+
     def test_train_synth_sgd_classification(self, capsys):
         res = self._run(capsys, [
             "train", "--synth", "ctr", "--synth-examples", "3000",
