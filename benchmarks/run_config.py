@@ -1,0 +1,149 @@
+"""Run one of the BASELINE.md benchmark configs end-to-end.
+
+Usage:  python benchmarks/run_config.py <1|2|3|4|5> [--scale 0.1]
+
+Configs (BASELINE.json `configs`; datasets are generated stand-ins since
+this environment has no network access — shapes and model configs match):
+
+  1  MovieLens-100K-shaped rating regression, rank-8 FM, SGD, single host
+  2  MovieLens-25M-shaped rating regression, rank-32 FM, ALS
+  3  Criteo-shaped CTR: hashed 2^24 buckets, logistic rank-32 FM, SGD
+     (fused sparse path on TPU)
+  4  Avazu-shaped CTR, field-aware (FFM) per-field factors
+  5  DeepFM: FM + MLP tower on Criteo-shaped data
+
+--scale shrinks example counts (and config-3/4 bucket counts) for smoke
+runs; 1.0 is the full generated size. Prints one JSON line per run:
+metric values + examples/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")  # repo root
+
+
+def config1(scale):
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.training import trainer
+
+    ds = synth.synth_movielens(num_users=943, num_items=1682,
+                               num_examples=int(100_000 * scale), seed=0)
+    coll = split_by_random(ds, 0.8, 0.2, seed=0)
+    cfg = sfm.FMConfig(num_features=ds.num_features, num_factors=8,
+                       reg_v=0.02, seed=0)
+    res = trainer.train_sgd(
+        cfg, sfm.SGDConfig(batch_size=4096, epochs=15, learning_rate=0.1),
+        coll.training, eval_ds=coll.test, eval_every=14)
+    return {"config": 1, "model": "fm8_sgd",
+            "test_rmse": res.history[-1]["eval_rmse"],
+            "examples_per_sec": res.examples_per_sec}
+
+
+def config2(scale):
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.solvers.als import train_als
+
+    ds = synth.synth_movielens(num_users=2000, num_items=3000,
+                               num_examples=int(1_000_000 * scale), seed=1)
+    coll = split_by_random(ds, 0.8, 0.2, seed=1)
+    cfg = sfm.FMConfig(num_features=ds.num_features, num_factors=32,
+                       reg_w=0.1, reg_v=1.0, seed=0)
+    res = train_als(cfg, sfm.ALSConfig(epochs=8, block_size=512),
+                    coll.training, eval_ds=coll.test, eval_every=7)
+    return {"config": 2, "model": "fm32_als",
+            "test_rmse": res.history[-1]["eval_rmse"],
+            "examples_per_sec": res.examples_per_sec}
+
+
+def config3(scale):
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.training import trainer
+
+    buckets = 1 << 24 if scale >= 1 else 1 << 20
+    ds = synth.synth_ctr(num_examples=int(1_000_000 * scale),
+                         num_fields=39, num_buckets=buckets, seed=2)
+    coll = split_by_random(ds, 0.9, 0.1, seed=2)
+    cfg = sfm.FMConfig(num_features=buckets, num_factors=32,
+                       task=sfm.Task.CLASSIFICATION, reg_v=1e-6, seed=0)
+    res = trainer.train_sgd(
+        cfg, sfm.SGDConfig(batch_size=16384, epochs=2, learning_rate=0.05),
+        coll.training, eval_ds=coll.test, eval_every=1)
+    return {"config": 3, "model": "criteo_fm32_logistic",
+            "test_auc": res.history[-1]["eval_auc"],
+            "examples_per_sec": res.examples_per_sec}
+
+
+def config4(scale):
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.training import trainer
+
+    fields = 22
+    buckets = 1 << 22 if scale >= 1 else 1 << 18
+    ds = synth.synth_ctr(num_examples=int(1_000_000 * scale),
+                         num_fields=fields, num_buckets=buckets, seed=3)
+    coll = split_by_random(ds, 0.9, 0.1, seed=3)
+    cfg = sfm.FMConfig(num_features=buckets, num_factors=8,
+                       num_fields=fields, task=sfm.Task.CLASSIFICATION,
+                       reg_v=1e-6, seed=0)
+    res = trainer.train_sgd(
+        cfg, sfm.SGDConfig(batch_size=8192, epochs=2, learning_rate=0.05),
+        coll.training, eval_ds=coll.test, eval_every=1)
+    return {"config": 4, "model": "avazu_ffm8",
+            "test_auc": res.history[-1]["eval_auc"],
+            "examples_per_sec": res.examples_per_sec}
+
+
+def config5(scale):
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.models import deepfm
+    from sparkfm_tpu.models.deepfm import DeepFMConfig
+
+    fields = 39
+    buckets = 1 << 20 if scale >= 1 else 1 << 17
+    ds = synth.synth_ctr(num_examples=int(500_000 * scale),
+                         num_fields=fields, num_buckets=buckets, seed=4)
+    coll = split_by_random(ds, 0.9, 0.1, seed=4)
+    cfg = DeepFMConfig(
+        fm=sfm.FMConfig(num_features=buckets, num_factors=16,
+                        num_fields=fields, task=sfm.Task.CLASSIFICATION,
+                        reg_v=1e-6, seed=0),
+        hidden=(256, 128))
+    res = deepfm.train_deepfm(
+        cfg, sfm.SGDConfig(batch_size=8192, epochs=2, learning_rate=0.05),
+        coll.training, eval_ds=coll.test, eval_every=1)
+    return {"config": 5, "model": "deepfm16",
+            "test_auc": res.history[-1]["eval_auc"],
+            "examples_per_sec": res.examples_per_sec}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config", type=int, choices=[1, 2, 3, 4, 5])
+    ap.add_argument("--scale", type=float, default=0.1)
+    args = ap.parse_args()
+    fn = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    t0 = time.perf_counter()
+    out = fn[args.config](args.scale)
+    out["wall_s"] = round(time.perf_counter() - t0, 1)
+    out["scale"] = args.scale
+    print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
+                      for k, v in out.items()}))
+
+
+if __name__ == "__main__":
+    main()
