@@ -35,15 +35,21 @@ from jax.experimental.pallas import tpu as pltpu
 NBUF = 8  # DMAs in flight
 
 
-def _writer_kernel(ids_ref, table_ref, rows_ref, out_ref, sem):
-    """One grid step: DMA this block's `tile` rows to their table slots."""
-    tile = rows_ref.shape[0]
+def _writer_kernel(table_ref, ids_ref, rows_ref, out_ref, sem):
+    """One grid step: DMA this block's `tile` rows to their table slots.
+
+    rows stay HBM-resident (ANY) and each row is DMA'd HBM->HBM directly:
+    no VMEM staging (half the traffic of a pipelined VMEM tile) and no
+    lane-tiling constraint on K, so K=1 (w) and K=rank (v) work as well as
+    the 128-lane fused-record layout.
+    """
+    tile = ids_ref.shape[0]
     base = pl.program_id(0) * tile
 
     def issue(slot, r):
-        rid = ids_ref[base + r]
+        rid = ids_ref[r]
         return pltpu.make_async_copy(
-            rows_ref.at[pl.ds(r, 1), :],
+            rows_ref.at[pl.ds(base + r, 1), :],
             out_ref.at[pl.ds(rid, 1), :],
             sem.at[slot],
         )
@@ -72,24 +78,27 @@ def scatter_set_rows(table: jnp.ndarray, ids: jnp.ndarray,
     u, k = rows.shape
     assert u % tile == 0, (u, tile)
     grid = u // tile
+    # ids are streamed per grid step as an SMEM tile (tile*4 bytes) rather
+    # than scalar-prefetching the whole array: a prefetched (U,) i32 operand
+    # occupies U*4 bytes of SMEM, which overflows the ~1MB SMEM budget for
+    # U >= 256K (seen on v5e at dedup budgets).
+    del k
     return pl.pallas_call(
         _writer_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(grid,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),            # table
-                pl.BlockSpec((tile, k), lambda i, ids: (i, 0),
-                             memory_space=pltpu.VMEM),           # rows tile
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
-        ),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                # table
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),            # ids tile
+            pl.BlockSpec(memory_space=pl.ANY),                # rows (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NBUF,))],
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
-        input_output_aliases={1: 0},   # table (first non-prefetch) -> out
+        input_output_aliases={0: 0},   # table -> out
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ids, table, rows)
+    )(table, ids, rows)
 
 
 def scatter_set_rows_xla(table, ids, rows):
@@ -119,12 +128,22 @@ def scatter_set(table, ids, rows, force: str = "auto"):
     flat_rows = rows.reshape(rows.shape[0], -1)
     flat_table = table.reshape(table.shape[0], -1)
 
-    if force == "xla" or (force == "auto" and not use_pallas_rowio()):
+    # Mosaic constrains DMA row slices even for HBM-resident operands:
+    # K < 128 trips lane tiling, K > 128 trips sublane tiling on the (1, K)
+    # slice. K == 128 — one full lane-tile per row, i.e. exactly the
+    # fused-record layout, which is where XLA's scatter cost dominates —
+    # is the supported shape. Narrow tables (w: K=1, v: K=rank) take the
+    # XLA scatter.
+    aligned = flat_rows.shape[1] == 128
+    if force == "xla" or (force == "auto"
+                          and not (aligned and use_pallas_rowio())):
         out = scatter_set_rows_xla(flat_table, ids, flat_rows)
     else:
         interpret = force == "interpret"
         u = ids.shape[0]
-        tile = min(512, u)
+        # 1024 keeps the ids SMEM block on XLA's s32 1-D tiling boundary
+        # (Mosaic rejects blocks misaligned with the {0:T(1024)} layout).
+        tile = 1024
         pad = (-u) % tile
         if pad:
             ids = jnp.concatenate([ids, jnp.broadcast_to(ids[-1:], (pad,))])
