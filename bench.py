@@ -22,6 +22,9 @@ Env knobs (all optional):
   BENCH_STEPS     timed steps     (default 30)
   BENCH_DIST      id distribution: zipf (default; Criteo-like) | uniform
   BENCH_PATH      update path: auto (default) | direct | dedup | fused
+  BENCH_BUDGET    unique-id budget U (default 2^17; the zipf batch has
+                  ~40K uniques so this is >3x headroom — the final step's
+                  overflow flag is asserted 0 to keep the number honest)
 """
 
 import json
@@ -47,11 +50,13 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
     dist = os.environ.get("BENCH_DIST", "zipf")
     path = os.environ.get("BENCH_PATH", "auto")
+    budget = int(os.environ.get("BENCH_BUDGET", 1 << 17))
 
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
-                        optimizer="adagrad", update_path=path)
+                        optimizer="adagrad", update_path=path,
+                        unique_budget=budget)
 
     resolved = sgd_solver.resolve_update_path(cfg, sgd_cfg)
     if resolved == "fused":
@@ -111,6 +116,9 @@ def main():
     final = float(aux["loss"]) + float(final_scalar(state))
     dt = time.perf_counter() - t0 - rpc_lat
     assert np.isfinite(final)
+    if "unique_overflow" in aux:
+        assert not bool(aux["unique_overflow"]), (
+            "unique budget overflowed — raise BENCH_BUDGET")
 
     eps = steps * batch / dt
     baseline_per_chip = 10e6 / 8  # north-star: 10M ex/s on v5p-16 (8 chips)

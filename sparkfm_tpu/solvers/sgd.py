@@ -285,8 +285,14 @@ def _make_dedup_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
         def loss_of(w0, w_rows, v_rows):
             return _batch_loss_from_rows(w0, w_rows, v_rows, batch, cfg)
 
-        w_rows = E.spread(w_u, plan)
-        v_rows = E.spread(v_u, plan)
+        # ONE per-slot spread for [v | w] (per-row gather cost is width-
+        # independent, so fusing the two spreads halves the slot bill).
+        v_flat_u = v_u.reshape(v_u.shape[0], -1)
+        vw_u = jnp.concatenate([v_flat_u, w_u[:, None]], axis=1)
+        vw_rows = E.spread(vw_u, plan)            # (B, L, kflat+1)
+        v_rows = vw_rows[..., :-1].reshape(
+            batch.ids.shape + v_u.shape[1:])
+        w_rows = vw_rows[..., -1]
         grads, (scores, data_loss) = jax.grad(
             loss_of, argnums=(0, 1, 2), has_aux=True)(p.w0, w_rows, v_rows)
         g_w0, g_wrows, g_vrows = grads

@@ -115,8 +115,13 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             return sgd_solver._batch_loss_from_rows(
                 w0, w_rows, v_rows, batch, cfg)
 
-        w_rows = E.spread(w_u, plan)
-        v_rows = E.spread(v_u, plan)
+        # ONE per-slot spread for [v | w]: gather cost is per-row (width-
+        # independent up to a lane tile), so fusing the two spreads halves
+        # the slot-space gather bill.
+        vw_u = jnp.concatenate([v_u, w_u[:, None]], axis=1)   # (U, k+1)
+        vw_rows = E.spread(vw_u, plan)                        # (B, L, k+1)
+        v_rows = vw_rows[..., :k]
+        w_rows = vw_rows[..., k]
         grads, (scores, data_loss) = jax.grad(
             loss_of, argnums=(0, 1, 2), has_aux=True)(
             state.w0, w_rows, v_rows)
