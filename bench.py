@@ -59,10 +59,14 @@ def main():
                         unique_budget=budget)
 
     resolved = sgd_solver.resolve_update_path(cfg, sgd_cfg)
-    if resolved == "fused":
+    if resolved in ("fused", "sorted"):
         from sparkfm_tpu.solvers import sgd_fused
         state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
-        step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        if resolved == "sorted":
+            from sparkfm_tpu.solvers import sgd_sorted
+            step_fn = sgd_sorted.make_sorted_train_step(cfg, sgd_cfg)
+        else:
+            step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
         final_scalar = lambda s: s.w0
     else:
         params = fm_model.init_params(cfg, jax.random.PRNGKey(0))

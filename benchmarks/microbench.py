@@ -6,13 +6,26 @@ iterations (output feeds next input) and ends with a scalar host fetch; the
 one-off RPC latency of a trivial fetch is subtracted.
 
 Usage: python benchmarks/microbench.py <case> [n]
-Cases: sort, sortpay, scat_ex, gath_ex, scat_u, gath_u, gather_big, cumsum
+Cases: sort, sortpay, scat_ex, gath_ex, scat_u, gath_u, gather_big, cumsum,
+       pgather, pwrite, xwrite
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def _device_table(jax, jnp, r, k):
+    """Big tables are created ON DEVICE — a 2GB host->device transfer over
+    a tunneled backend takes minutes and dwarfs everything measured."""
+    key = jax.random.PRNGKey(0)
+    return jax.jit(
+        lambda: jax.random.normal(key, (r, k), jnp.float32))()
 
 
 def main():
@@ -85,13 +98,31 @@ def main():
             return t + r[:U] * 1e-9
         timeit("gather 639Kx33 from (65536,33)", jax.jit(f), tbl)
     elif case == "gather_big":
-        tbl = jnp.asarray(rng.normal(size=(R, 128)).astype(np.float32))
+        tbl = _device_table(jax, jnp, R, 128)
         uu = jnp.asarray(rng.integers(0, R, U).astype(np.int32))
 
         def f(t):
             r = t[uu]
             return t + r[0, 0] * 1e-9
         timeit("gather 65536x128 from (4M,128)", jax.jit(f), tbl)
+    elif case in ("pgather", "pwrite", "xwrite"):
+        from sparkfm_tpu.ops import pallas_rowio as PR
+        tbl = _device_table(jax, jnp, R, 128)
+        uu = jnp.asarray(rng.integers(0, R, U).astype(np.int32))
+        if case == "pgather":
+            def f(t):
+                r = PR.gather_rows(t, uu, force="pallas")
+                return t + r[0, 0] * 1e-9
+            timeit("pallas gather 65536x128 from (4M,128)", jax.jit(f), tbl)
+        else:
+            rows = jnp.asarray(
+                rng.normal(size=(U, 128)).astype(np.float32))
+            force = "pallas" if case == "pwrite" else "xla"
+
+            def f(t):
+                return PR.scatter_set(t, uu, rows + t[0, 0] * 1e-9,
+                                      force=force)
+            timeit(f"{force} write 65536x128 -> (4M,128)", jax.jit(f), tbl)
     elif case == "cumsum":
         pay = jnp.asarray(rng.normal(size=(N, 33)).astype(np.float32))
         timeit("cumsum 639Kx33", jax.jit(

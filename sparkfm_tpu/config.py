@@ -86,6 +86,10 @@ class SGDConfig:
     #              faster on TPU for F >~ 2^16 (XLA big-table scatter is
     #              ~200ns/row; small-table ops are ~10-20x cheaper).
     #   "auto"   — dedup when num_features >= 2^16 else direct.
+    #   "sorted" — slots re-sorted by feature id once per batch; per-unique
+    #              reductions become streaming segment sums (Pallas) and
+    #              table rows move via pipelined row DMAs — the fastest
+    #              big-table path on TPU (solvers/sgd_sorted.py).
     update_path: str = "auto"
     # Static unique-id budget U for the dedup path; 0 = next power of two
     # >= batch nnz slots (no overflow possible), capped at 2^18.

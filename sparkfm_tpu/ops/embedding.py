@@ -103,6 +103,64 @@ def dedup_ids(ids: jnp.ndarray, budget: int, fill: int) -> DedupBatch:
                       overflow=overflow)
 
 
+class SortedPlan(NamedTuple):
+    """Slot-sorted lookup plan (the ``update_path="sorted"`` layout).
+
+    Slots are reordered by feature id so that per-unique reductions become
+    contiguous-run segment sums (ops/pallas_segsum.py) instead of random
+    scatter-adds. Payloads ride the sort, so no unsort pass exists at all.
+
+    svals: (N,) f32 — slot values in sorted order.
+    sex:   (N,) i32 — slot's example index in sorted order.
+    seg:   (N,) i32 — dense rank of each sorted slot's unique id, clipped
+           to [0, budget).
+    uids:  (U,) i32 — unique ids, sorted; unused slots hold ``fill``.
+    count / overflow: as DedupBatch.
+    """
+
+    svals: jnp.ndarray
+    sex: jnp.ndarray
+    seg: jnp.ndarray
+    uids: jnp.ndarray
+    count: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def sorted_plan(ids: jnp.ndarray, vals: jnp.ndarray, budget: int,
+                fill: int) -> SortedPlan:
+    """Sort slots by id carrying (val, example) payloads; derive dense
+    ranks and the compacted unique-id list. Two sorts total (the natural-
+    order 'unsort' sort that DedupBatch needs is gone — nothing here ever
+    returns to natural slot order)."""
+    b, l = ids.shape
+    flat = ids.reshape(-1)
+    n = flat.shape[0]
+    pos = jax.lax.iota(jnp.int32, n)
+    sid, svals, spos = jax.lax.sort(
+        (flat, vals.reshape(-1), pos), num_keys=1)
+    sex = spos // l
+
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sid[1:] != sid[:-1]])
+    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    count = seg[-1] + 1
+    overflow = count > budget
+    seg_c = jnp.minimum(seg, budget - 1)
+
+    nb = jnp.logical_not(boundary).astype(jnp.int32)
+    _, uid_sorted = jax.lax.sort((nb, sid), num_keys=1, is_stable=True)
+    take = min(budget, n)
+    uids = uid_sorted[:take]
+    if take < budget:
+        uids = jnp.concatenate(
+            [uids, jnp.full((budget - take,), fill, jnp.int32)])
+    slot_idx = jax.lax.iota(jnp.int32, budget)
+    uids = jnp.where(slot_idx < jnp.minimum(count, budget), uids, fill)
+
+    return SortedPlan(svals=svals, sex=sex, seg=seg_c, uids=uids,
+                      count=count, overflow=overflow)
+
+
 def gather_unique(table: jnp.ndarray, plan: DedupBatch) -> jnp.ndarray:
     """(U, ...) unique rows from the big table — the only big gather."""
     return table[plan.uids]

@@ -1,0 +1,166 @@
+"""Pallas TPU kernel: streaming segment row-sum over sorted runs.
+
+``segment_rowsum(g, seg, U)`` computes ``acc[u] = sum_{i: seg[i]==u} g[i]``
+for row-matrix ``g: (N, W)`` and **sorted non-decreasing** ``seg: (N,)``.
+
+Why: the dedup SGD paths need per-unique-row gradient sums. XLA's
+scatter-add costs ~14-23 ns/row into a 64K-row table (measured on v5e —
+9-15 ms for a 639K-slot Criteo batch), because each row is a dynamic
+update. With slots sorted by id (which the dedup plan already produces),
+segments are contiguous runs, and the reduction becomes a *streaming*
+pass:
+
+  * grid steps walk (T, W) tiles of g sequentially (TPU grids execute
+    in order on the core),
+  * within a tile, per-rank sums are one (T, T) one-hot matmul on the
+    MXU: ``partial[j] = sum_i [local_rank[i] == j] * g[i]``,
+  * local ranks map to a *contiguous* global rank window [r0, r0+T), so
+    the tile's result is ONE dense DMA to ``out[r0:r0+T]`` — no scatter,
+  * a VMEM carry row threads the sum of a run that spans tile
+    boundaries into the next tile (added at its local rank 0), and a
+    tile whose ranks were partially overwritten by a later tile is
+    always re-written completely by that tile (ranks windows are
+    non-decreasing), so the last writer of every rank writes its
+    complete sum.
+
+Cost ≈ read g once + write out once + N*T*W MXU MACs: ~1 ms for
+(639K, 128) at T=512 vs ~15 ms for the XLA scatter-add it replaces.
+
+Contract (Pallas path): seg must be **dense ranks** — sorted, starting
+at 0, incrementing by at most 1 between consecutive elements (exactly
+what ``ops.embedding.dedup_ids`` produces as ``seg``). This bounds a
+tile's local ranks to [0, T) so the one-hot matmul covers them; sorted
+ids with arbitrary jumps would need unbounded windows (use the XLA
+fallback for those). Values in [0, num_segments); ranks above seg[-1]
+(unused budget) are zero-filled by the wrapper.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _segsum_kernel(seg_smem, g_ref, seg_vmem, out_ref,
+                   carry, prev_rl, buf, sem):
+    t = g_ref.shape[0]
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        prev_rl[0] = -1
+
+    r0 = seg_smem[0]
+    rl = seg_smem[t - 1]
+
+    local = seg_vmem[...] - r0                                # (T, 1) i32
+    g = g_ref[...]                                            # (T, W)
+
+    # one-hot (slots x local-ranks): M2[i, j] = [local[i] == j]
+    iota_rank = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    m2 = (local == iota_rank).astype(g.dtype)                 # (T, T)
+    # partial[j, w] = sum_i m2[i, j] * g[i, w]  (contract dim 0 of both)
+    partial = jax.lax.dot_general(
+        m2, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (T, W)
+
+    # thread the carry of a run spanning the tile boundary into rank 0
+    continuing = r0 == prev_rl[0]
+    row0 = (jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0) == 0)
+    carry_in = jnp.where(continuing, 1.0, 0.0) * carry[...]
+    partial = partial + jnp.where(row0, 1.0, 0.0) * carry_in
+
+    # new carry: complete prefix sum of the run containing the last slot
+    last_mask = local == (rl - r0)
+    run_sum = jnp.sum(jnp.where(last_mask, g, 0.0), axis=0,
+                      keepdims=True)                          # (1, W)
+    whole_tile_one_run = jnp.logical_and(continuing, rl == r0)
+    carry[...] = run_sum + jnp.where(whole_tile_one_run, 1.0, 0.0) * carry_in
+    prev_rl[0] = rl
+
+    buf[...] = partial
+    cp = pltpu.make_async_copy(buf, out_ref.at[pl.ds(r0, t)], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_segments", "tile", "interpret"))
+def _segment_rowsum_pallas(g: jnp.ndarray, seg: jnp.ndarray,
+                           num_segments: int, tile: int = 1024,
+                           interpret: bool = False) -> jnp.ndarray:
+    n, w = g.shape
+    assert n % tile == 0, (n, tile)
+    out = pl.pallas_call(
+        _segsum_kernel,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),            # seg scalars
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # g tile
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # seg vector
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, w), jnp.float32),                  # carry
+            pltpu.SMEM((1,), jnp.int32),                      # prev_rl
+            pltpu.VMEM((tile, w), jnp.float32),               # out staging
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_segments + tile, w),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg, g, seg[:, None])
+    return out[:num_segments]
+
+
+def segment_rowsum(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
+                   tile: int = 1024, force: str = "auto") -> jnp.ndarray:
+    # tile=1024 keeps the seg SMEM block on XLA's s32 1-D {0:T(1024)}
+    # layout (Mosaic rejects misaligned SMEM blocks); smaller tiles are
+    # fine in tests/interpret mode.
+    """Segment sum of g rows over sorted seg. force: auto|pallas|xla|interpret.
+
+    The Pallas path requires W % 128 == 0 (pad lanes at the caller when
+    it matters; this wrapper pads and slices automatically) and writes
+    rank windows beyond the data as zeros, which matches segment_sum's
+    zero-fill for empty segments. Ranks never touched by any window
+    (possible when seg[0] > 0) are zeroed by construction because the
+    output buffer is freshly allocated by XLA... which does NOT
+    guarantee zeros — so the wrapper explicitly masks: ranks outside
+    [seg[0], seg[-1]] are zero-filled with a final where().
+    """
+    from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
+    if force == "xla" or (force == "auto" and not use_pallas_rowio()):
+        return jax.ops.segment_sum(g, seg, num_segments=num_segments)
+
+    interpret = force == "interpret"
+    n, w = g.shape
+    pad_w = (-w) % 128
+    if pad_w:
+        g = jnp.concatenate(
+            [g, jnp.zeros((n, pad_w), g.dtype)], axis=1)
+    pad_n = (-n) % tile
+    if pad_n:
+        g = jnp.concatenate(
+            [g, jnp.zeros((pad_n,) + g.shape[1:], g.dtype)], axis=0)
+        seg = jnp.concatenate(
+            [seg, jnp.broadcast_to(seg[-1:], (pad_n,))])
+    out = _segment_rowsum_pallas(g.astype(jnp.float32), seg.astype(jnp.int32),
+                                 num_segments, tile=tile,
+                                 interpret=interpret)
+    # zero ranks no window ever wrote (below seg[0]); ranks above seg[-1]
+    # are inside the last window and were written as zeros already, but
+    # mask both for safety (uninitialized output memory).
+    rank = jax.lax.iota(jnp.int32, num_segments)
+    valid = jnp.logical_and(rank >= seg[0], rank <= seg[-1])
+    out = jnp.where(valid[:, None], out, 0.0)
+    return out[:, :w] if pad_w else out

@@ -200,11 +200,11 @@ def make_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
     path = resolve_update_path(cfg, sgd_cfg)
     if path == "dedup":
         return _make_dedup_train_step(cfg, sgd_cfg)
-    if path == "fused":
+    if path in ("fused", "sorted"):
         raise ValueError(
-            "resolved update path is 'fused', which uses a FusedState — "
-            "build it with sparkfm_tpu.solvers.sgd_fused instead (the "
-            "trainer does this automatically)")
+            f"resolved update path is '{path}', which uses a FusedState — "
+            "build it with sparkfm_tpu.solvers.sgd_fused / sgd_sorted "
+            "instead (the trainer does this automatically)")
 
     def train_step(state: SGDState, batch: SparseBatch):
         p = state.params

@@ -104,7 +104,9 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             plan.count, budget)
 
         # ---- ONE big-table gather for the whole working set
-        rec_u = state.table[plan.uids]                       # (U, W)
+        # (uids ascending with the max-id fill row trailing)
+        rec_u = state.table.at[plan.uids].get(
+            indices_are_sorted=True, mode="promise_in_bounds")  # (U, W)
         rec_u = jnp.where(valid_u[:, None], rec_u, 0.0)
         v_u = rec_u[:, :k]
         slot_v_u = rec_u[:, k:2 * k]
@@ -155,7 +157,7 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
 
         # ---- ONE big-table write-back
         table = PR.scatter_set(state.table, plan.uids, rec_new,
-                               force=scatter_mode)
+                               force=scatter_mode, indices_are_sorted=True)
 
         if cfg.use_bias:
             w0, sw0, _ = sgd_solver._dense_scalar_update(

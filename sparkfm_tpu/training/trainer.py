@@ -91,10 +91,14 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     uninterrupted one exactly (tests/test_checkpoint.py).
     """
     path = sgd_solver.resolve_update_path(cfg, sgd_cfg)
-    if path == "fused":
+    if path in ("fused", "sorted"):
         from sparkfm_tpu.solvers import sgd_fused
         state = sgd_fused.init_fused_state(cfg, key)
-        step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        if path == "sorted":
+            from sparkfm_tpu.solvers import sgd_sorted
+            step_fn = sgd_sorted.make_sorted_train_step(cfg, sgd_cfg)
+        else:
+            step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
         get_params = lambda s: sgd_fused.params_from_fused(s, cfg)
     else:
         params = fm_model.init_params(cfg, key)
