@@ -123,6 +123,18 @@ def main():
                 return PR.scatter_set(t, uu, rows + t[0, 0] * 1e-9,
                                       force=force)
             timeit(f"{force} write 65536x128 -> (4M,128)", jax.jit(f), tbl)
+    elif case == "segsum":
+        from sparkfm_tpu.ops import pallas_segsum as SS
+        incr = (rng.random(N) < 0.063).astype(np.int64)
+        incr[0] = 0
+        seg = jnp.asarray(np.cumsum(incr).astype(np.int32))
+        g = jax.jit(lambda: jax.random.normal(
+            jax.random.PRNGKey(0), (N, 128), jnp.float32))()
+
+        def f(gg):
+            return SS.segment_rowsum(gg, seg, U,
+                                     force="pallas")[0, 0] * 1e-9 + gg
+        timeit("pallas segsum 639Kx128 -> 65536", jax.jit(f), g)
     elif case == "cumsum":
         pay = jnp.asarray(rng.normal(size=(N, 33)).astype(np.float32))
         timeit("cumsum 639Kx33", jax.jit(

@@ -82,7 +82,8 @@ def make_sorted_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
         vw_u = jnp.concatenate([v_u, w_u[:, None]], axis=1)   # (U, k+1)
 
         # ---- expand to sorted slots (monotone gather) + slot terms
-        vw_s = vw_u[plan.seg]                           # (N, k+1)
+        vw_s = vw_u.at[plan.seg].get(
+            indices_are_sorted=True, mode="promise_in_bounds")  # (N, k+1)
         v_s = vw_s[:, :k]
         w_s = vw_s[:, k]
         c = v_s * x[:, None]                            # (N, k) v*x
