@@ -124,7 +124,8 @@ class FM:
         rmse = model.compute_rmse(test)
 
     The reference's `learnWith(fml)` pluggable-solver slot maps to
-    ``solver``: "sgd", "als", or any callable
+    ``solver``: "sgd", "als", "mcmc" (the full libFM solver family — the
+    reference ships only ALS), or any callable
     ``(cfg, train, eval_ds, eval_every, key) -> TrainResult``.
     """
 
@@ -189,6 +190,14 @@ class FM:
             als_cfg = ALSConfig(epochs=self.max_iter, block_size=bs)
             res = train_als(cfg, als_cfg, train, eval_ds, self.eval_every,
                             key)
+        elif self.solver == "mcmc":
+            from sparkfm_tpu.config import MCMCConfig
+            from sparkfm_tpu.solvers.mcmc import train_mcmc
+            bs = max(1, min(self.block_size, cfg.num_features // 16 + 1))
+            mcmc_cfg = MCMCConfig(epochs=self.max_iter,
+                                  burn_in=max(1, self.max_iter // 10),
+                                  block_size=bs)
+            res = train_mcmc(cfg, mcmc_cfg, train, eval_ds, key)
         else:
             raise ValueError(f"unknown solver {self.solver!r}")
         return FMModel(params=res.params, cfg=cfg, history=res.history,

@@ -210,7 +210,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train,test[,val] weights, e.g. 0.8,0.2")
     t.add_argument("--task", choices=[x.value for x in Task],
                    default="regression")
-    t.add_argument("--solver", default="als", choices=["als", "sgd"])
+    t.add_argument("--solver", default="als",
+                   choices=["als", "sgd", "mcmc"])
     t.add_argument("--factors", type=int, default=8)
     t.add_argument("--iters", type=int, default=10)
     t.add_argument("--reg0", type=float, default=0.0)

@@ -121,6 +121,34 @@ class ALSConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class MCMCConfig:
+    """Gibbs-sampled Bayesian FM (libFM's MCMC solver; Rendle 2012).
+
+    Same blocked-sweep machinery as ALS, but every coordinate draw samples
+    from its conditional posterior N(theta*, 1/(alpha*den + lambda)) and
+    the regularization hyperparameters (per-group lambda, mu and the noise
+    precision alpha) are themselves Gibbs-sampled — no learning rate and
+    no reg tuning, the classic reason to use FM-MCMC. The reference ships
+    only ALS (SURVEY §2.3); this restores the missing member of the libFM
+    solver family. Predictions are averaged over post-burn-in samples
+    (libFM semantics: test scores accumulate during training).
+    """
+
+    epochs: int = 50
+    burn_in: int = 5
+    block_size: int = 4096
+    feature_blocks: Optional[tuple] = None
+    # Gamma hyperpriors (libFM defaults: alpha_0 = beta_0 = 1, etc.)
+    alpha_0: float = 1.0
+    beta_0: float = 1.0
+    alpha_lambda: float = 1.0
+    beta_lambda: float = 1.0
+    # Gaussian hyperprior on group means: mu ~ N(mu_0, 1/(gamma_0*lambda))
+    mu_0: float = 0.0
+    gamma_0: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout: (data, model) axes.
 

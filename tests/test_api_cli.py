@@ -59,7 +59,7 @@ class TestFMFacade:
 
     def test_unknown_solver_raises(self, ratings):
         with pytest.raises(ValueError):
-            sfm.FM(solver="mcmc").fit(ratings)
+            sfm.FM(solver="newton").fit(ratings)
 
 
 class TestCLI:
