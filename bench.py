@@ -22,9 +22,14 @@ Env knobs (all optional):
   BENCH_STEPS     timed steps     (default 30)
   BENCH_DIST      id distribution: zipf (default; Criteo-like) | uniform
   BENCH_PATH      update path: auto (default) | direct | dedup | fused
-  BENCH_BUDGET    unique-id budget U (default 2^17; the zipf batch has
-                  ~40K uniques so this is >3x headroom — the final step's
-                  overflow flag is asserted 0 to keep the number honest)
+  BENCH_HOSTPLAN  1 (default) = batches carry host-computed dedup plans
+                  (the production input pipeline computes these overlapped
+                  with device compute — data.batching.prefetch); 0 = the
+                  step dedups on device
+  BENCH_BUDGET    unique-id budget U (default 2^16; the zipf batch has
+                  ~40K uniques so this is >1.6x headroom — the final
+                  step's overflow flag is asserted 0 to keep the number
+                  honest)
 """
 
 import json
@@ -50,7 +55,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
     dist = os.environ.get("BENCH_DIST", "zipf")
     path = os.environ.get("BENCH_PATH", "auto")
-    budget = int(os.environ.get("BENCH_BUDGET", 1 << 17))
+    budget = int(os.environ.get("BENCH_BUDGET", 1 << 16))
 
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
@@ -89,6 +94,8 @@ def main():
     # can be memoized by tunneled backends).
     rng = np.random.default_rng(0)
     n_batches = 8
+    host_plan = os.environ.get("BENCH_HOSTPLAN", "1") == "1" and resolved in (
+        "dedup", "fused")
 
     def make_batch():
         if dist == "uniform":
@@ -97,11 +104,20 @@ def main():
             raw = rng.zipf(1.3, size=(batch, nnz)).astype(np.int64)
             ids = ((raw * 2654435761) % buckets).astype(np.int32)
         y = rng.integers(0, 2, (batch,)).astype(np.float32)
+        plan = None
+        if host_plan:
+            from sparkfm_tpu.ops import embedding as E
+            hp = E.host_dedup(ids, budget, fill=buckets)
+            plan = E.DedupBatch(
+                uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+                count=jnp.asarray(hp.count),
+                overflow=jnp.asarray(hp.overflow))
         return SparseBatch(
             ids=jnp.asarray(ids),
             vals=jnp.ones((batch, nnz), jnp.float32),
             y=jnp.asarray(y),
-            mask=jnp.ones((batch,), bool))
+            mask=jnp.ones((batch,), bool),
+            plan=plan)
 
     batches = [make_batch() for _ in range(n_batches)]
     for b in batches:

@@ -95,9 +95,13 @@ class SGDConfig:
     # >= batch nnz slots (no overflow possible), capped at 2^18.
     unique_budget: int = 0
     # Write-back kernel for the dedup path's unique rows:
-    #   "auto"   — Pallas per-row DMA writer on TPU, XLA scatter elsewhere
+    #   "auto"   — XLA scatter with sortedness hints (measured fastest)
     #   "pallas" | "xla" | "interpret" — force a specific implementation
     pallas_scatter: str = "auto"
+    # Compute the dedup plan on the HOST in the input pipeline (overlapped
+    # with device compute via data.batching.prefetch) instead of sorting
+    # on device inside the step — saves ~4 ms/step at Criteo shapes.
+    host_plan: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

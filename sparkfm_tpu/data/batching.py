@@ -36,6 +36,10 @@ class SparseBatch:
     mask: Optional[jnp.ndarray] = None       # (B,) bool
     # Optional per-slot field ids for FFM.
     field_ids: Optional[jnp.ndarray] = None  # (B, L) int32
+    # Optional host-precomputed dedup plan (ops.embedding.DedupBatch):
+    # when present, the dedup/fused train steps skip the on-device sorts
+    # (the input pipeline computes it overlapped with device compute).
+    plan: Optional[object] = None
 
     @property
     def batch_size(self) -> int:
@@ -109,11 +113,19 @@ def pack_examples(rows: Sequence[tuple], num_features: int,
 def batch_iterator(ds: SparseDataset, batch_size: int,
                    shuffle: bool = False, seed: int = 0,
                    drop_remainder: bool = False,
-                   epoch: int = 0) -> Iterator[SparseBatch]:
+                   epoch: int = 0,
+                   dedup_budget: Optional[int] = None,
+                   dedup_fill: Optional[int] = None) -> Iterator[SparseBatch]:
     """Yield fixed-shape SparseBatches; the tail batch is padded + masked.
 
     Deterministic shuffling keyed by (seed, epoch) — replacing the
     reference's unseeded randomSplit/iteration order (DataCollection.scala:42).
+
+    With ``dedup_budget``/``dedup_fill`` set, each batch carries a
+    host-computed dedup plan (see ops.embedding.host_dedup), which the
+    dedup/fused train steps consume instead of sorting on device. Wrap the
+    iterator in :func:`prefetch` so the plan computation overlaps device
+    compute.
     """
     n = ds.num_examples
     order = np.arange(n)
@@ -130,14 +142,59 @@ def batch_iterator(ds: SparseDataset, batch_size: int,
             idx = np.concatenate([idx, pad])
         mask = np.zeros((batch_size,), bool)
         mask[:b] = True
+        ids_np = ds.ids[idx]
+        plan = None
+        if dedup_budget is not None and dedup_fill is not None:
+            from sparkfm_tpu.ops import embedding as _E
+            hp = _E.host_dedup(ids_np, dedup_budget, dedup_fill)
+            plan = _E.DedupBatch(
+                uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+                count=jnp.asarray(hp.count),
+                overflow=jnp.asarray(hp.overflow))
         yield SparseBatch(
-            ids=jnp.asarray(ds.ids[idx]),
+            ids=jnp.asarray(ids_np),
             vals=jnp.asarray(ds.vals[idx] * mask[:, None]),
             y=jnp.asarray(ds.y[idx] * mask),
             mask=jnp.asarray(mask),
             field_ids=(None if ds.field_ids is None
                        else jnp.asarray(ds.field_ids[idx])),
+            plan=plan,
         )
+
+
+def prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run a batch iterator in a background thread with a bounded queue.
+
+    Overlaps host-side batch assembly (slicing, host->device transfer
+    issue, dedup-plan computation) with device compute — the standard
+    input-pipeline shape the reference gets implicitly from Spark's lazy
+    RDD evaluation on executors.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: list = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:       # propagate into the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def to_device_arrays(ds: SparseDataset):

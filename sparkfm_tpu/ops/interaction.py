@@ -8,10 +8,12 @@ per-example on the driver (reference: fm/FMModel.scala:34-63):
 Here it is batched: inputs are fixed-shape padded CSR batches
 (ids: (B, L) int32, vals: (B, L) float32, pad entries have val == 0 which
 makes them exact no-ops), and the per-factor loop becomes one vectorized
-(B, L, K) contraction that XLA fuses and tiles onto the VPU/MXU. A fused
-Pallas kernel for the gather+interaction hot path lives in
-ops/pallas_interaction.py; this module is the semantics-defining baseline
-both are tested against (and the brute-force O(nnz^2) oracle in tests).
+(B, L, K) contraction that XLA fuses and tiles onto the VPU/MXU — measured,
+the interaction math itself is a negligible slice of a train step; the hot
+spots are table access (see ops/embedding.py, ops/pallas_segsum.py and the
+solvers' dedup/fused/sorted paths). This module is the semantics-defining
+baseline those paths are tested against (plus the brute-force O(nnz^2)
+pairwise oracle in tests/test_fm_math.py).
 """
 
 from __future__ import annotations

@@ -99,7 +99,11 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
         n_slots = batch.ids.shape[0] * batch.ids.shape[1]
         budget = sgd_cfg.unique_budget or E.auto_budget(n_slots)
 
-        plan = E.dedup_ids(batch.ids, budget, fill=F)
+        if batch.plan is not None:
+            plan = batch.plan          # host-computed (ops.embedding.host_dedup)
+            budget = plan.uids.shape[0]
+        else:
+            plan = E.dedup_ids(batch.ids, budget, fill=F)
         valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(
             plan.count, budget)
 

@@ -122,15 +122,26 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
             log.info("resumed from %s at epoch %d", checkpoint_dir,
                      start_epoch)
 
+    # Host-side dedup plans (overlapped with device compute via prefetch)
+    # for the table-access paths that consume them.
+    dedup_budget = dedup_fill = None
+    if sgd_cfg.host_plan and path in ("dedup", "fused"):
+        from sparkfm_tpu.ops import embedding as _E
+        n_slots = sgd_cfg.batch_size * train.max_nnz
+        dedup_budget = sgd_cfg.unique_budget or _E.auto_budget(n_slots)
+        dedup_fill = cfg.num_features
+
     n_examples = 0
     t0 = time.perf_counter()
     compile_time = 0.0
+    from sparkfm_tpu.data.batching import prefetch
     for epoch in range(start_epoch, sgd_cfg.epochs):
         losses = []
-        for i, batch in enumerate(batch_iterator(
+        for i, batch in enumerate(prefetch(batch_iterator(
                 train, sgd_cfg.batch_size,
                 shuffle=sgd_cfg.shuffle_each_epoch, seed=cfg.seed,
-                epoch=epoch, drop_remainder=False)):
+                epoch=epoch, drop_remainder=False,
+                dedup_budget=dedup_budget, dedup_fill=dedup_fill))):
             if epoch == 0 and i == 0:
                 tc = time.perf_counter()
             state, aux = step_fn(state, batch)

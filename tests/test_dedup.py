@@ -240,3 +240,69 @@ def test_train_sgd_dedup_end_to_end():
     assert rmses[-1] < 0.6
     # returned params are trimmed back to logical size
     assert res.params.w.shape[0] == ds.num_features
+
+
+def test_host_dedup_matches_device_plan():
+    """ops.embedding.host_dedup must equal dedup_ids element-for-element."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sparkfm_tpu.ops import embedding as E
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        b, l = int(rng.integers(2, 20)), int(rng.integers(1, 9))
+        f = int(rng.integers(4, 200))
+        budget = int(rng.integers(2, b * l + 8))
+        ids = rng.integers(0, f, (b, l)).astype(np.int32)
+        hp = E.host_dedup(ids, budget, fill=f)
+        dp = E.dedup_ids(jnp.asarray(ids), budget, fill=f)
+        np.testing.assert_array_equal(hp.uids, np.asarray(dp.uids))
+        np.testing.assert_array_equal(hp.ranks, np.asarray(dp.ranks))
+        assert int(hp.count) == int(dp.count)
+        assert bool(hp.overflow) == bool(dp.overflow)
+
+
+def test_fused_step_with_host_plan_matches_device_plan():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.solvers import sgd_fused
+    rng = np.random.default_rng(3)
+    cfg = FMConfig(num_features=64, num_factors=4, reg_v=0.01, seed=1)
+    sgd_cfg = SGDConfig(batch_size=8, learning_rate=0.1,
+                        optimizer="adagrad", unique_budget=32)
+    step = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+    s_dev = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+    s_host = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+    for _ in range(3):
+        ids = rng.integers(0, 64, (8, 5)).astype(np.int32)
+        vals = rng.normal(size=(8, 5)).astype(np.float32)
+        y = rng.normal(size=(8,)).astype(np.float32)
+        base = dict(ids=jnp.asarray(ids), vals=jnp.asarray(vals),
+                    y=jnp.asarray(y), mask=jnp.ones((8,), bool))
+        hp = E.host_dedup(ids, 32, fill=64)
+        plan = E.DedupBatch(uids=jnp.asarray(hp.uids),
+                            ranks=jnp.asarray(hp.ranks),
+                            count=jnp.asarray(hp.count),
+                            overflow=jnp.asarray(hp.overflow))
+        s_dev, _ = step(s_dev, SparseBatch(**base))
+        s_host, _ = step(s_host, SparseBatch(**base, plan=plan))
+    np.testing.assert_allclose(np.asarray(s_host.table[:64]),
+                               np.asarray(s_dev.table[:64]),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_prefetch_iterator_equivalence():
+    import numpy as np
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.batching import batch_iterator, prefetch
+    ds = synth.synth_movielens(num_users=10, num_items=10,
+                               num_examples=100, seed=0)
+    a = list(batch_iterator(ds, 16, shuffle=True, seed=1, epoch=2))
+    b = list(prefetch(batch_iterator(ds, 16, shuffle=True, seed=1,
+                                     epoch=2)))
+    assert len(a) == len(b)
+    for x, z in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x.ids), np.asarray(z.ids))
