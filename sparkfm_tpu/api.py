@@ -168,6 +168,30 @@ class FM:
     def fit(self, train: SparseDataset,
             eval_ds: Optional[SparseDataset] = None,
             checkpoint_dir: Optional[str] = None) -> FMModel:
+        """Fit on a SparseDataset OR a block-structure RelationalDataset.
+
+        Relational input is the facade analog of the reference's
+        `FM.withRelation(...)` (FM.scala:17): SGD trains directly on the
+        non-materialized form (batch-time gather join); other solvers
+        materialize first (the reference's 'Method 1').
+        """
+        from sparkfm_tpu.data.relational import RelationalDataset
+        if isinstance(train, RelationalDataset):
+            cfg = self._cfg(train)
+            key = jax.random.PRNGKey(self.seed)
+            if self.solver == "sgd":
+                sgd_cfg = SGDConfig(learning_rate=self.learning_rate,
+                                    optimizer=self.optimizer,
+                                    batch_size=self.batch_size,
+                                    epochs=self.max_iter)
+                res = _trainer.train_sgd_relational(
+                    cfg, sgd_cfg, train, eval_ds, self.eval_every, key)
+                return FMModel(params=res.params, cfg=cfg,
+                               history=res.history,
+                               examples_per_sec=res.examples_per_sec)
+            train = train.materialize()
+            if eval_ds is not None and hasattr(eval_ds, "materialize"):
+                eval_ds = eval_ds.materialize()
         cfg = self._cfg(train)
         key = jax.random.PRNGKey(self.seed)
         if callable(self.solver):

@@ -142,3 +142,36 @@ def test_end_to_end_relational_training():
     rmses = [h["eval_rmse"] for h in res.history if "eval_rmse" in h]
     assert rmses[-1] < 0.5, rmses
     assert rmses[-1] < rmses[0]
+
+
+def test_facade_fits_relational_dataset():
+    """FM facade routes RelationalDataset to the gather-join SGD path (the
+    reference's FM.withRelation analog) and to materialize for ALS."""
+    import numpy as np
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import relational as R
+
+    rng = np.random.default_rng(0)
+    n, keys_n = 400, 12
+    # relation table: 3 one-hot features per key (relation-local ids 0..2)
+    tbl = R.RelationTable(
+        ids=jnp.asarray(np.concatenate(
+            [rng.integers(0, 3, (keys_n, 1)), np.zeros((1, 1), int)]
+        ).astype(np.int32)),
+        vals=jnp.asarray(np.concatenate(
+            [np.ones((keys_n, 1)), np.zeros((1, 1))]).astype(np.float32)),
+        offset=20)
+    main_ids = rng.integers(0, 20, (n, 2)).astype(np.int32)
+    main_vals = np.ones((n, 2), np.float32)
+    keys = rng.integers(0, keys_n, (n, 1)).astype(np.int32)
+    y = rng.normal(size=(n,)).astype(np.float32)
+    ds = R.RelationalDataset(main_ids=main_ids, main_vals=main_vals, y=y,
+                             keys=keys, tables=(tbl,), num_features=23)
+    m_sgd = sfm.FM(num_factors=2, solver="sgd", max_iter=2,
+                   batch_size=64, reg_v=0.1).fit(ds)
+    m_als = sfm.FM(num_factors=2, solver="als", max_iter=2,
+                   reg_v=1.0).fit(ds)
+    flat = ds.materialize()
+    for m in (m_sgd, m_als):
+        p = m.predict_dataset(flat)
+        assert p.shape == (n,) and np.all(np.isfinite(p))
