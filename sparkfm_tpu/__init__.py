@@ -2,20 +2,22 @@
 
 Brand-new JAX/XLA/Pallas/pjit implementation of the capabilities of the
 reference SparkFM (edmundhung/SparkFM, studied in SURVEY.md): second-order FM
-with SGD and ALS solvers, regression + logistic classification heads, libFM
-I/O, schema-driven (incl. relational) vectorization, metrics, sharded
-training over a (data, model) device mesh, and checkpointing.
+with the full libFM solver family (SGD / ALS / MCMC), regression + logistic
+classification heads, libFM I/O, schema-driven (incl. relational)
+vectorization, metrics, sharded training over a (data, model) device mesh,
+and checkpointing.
 """
 
 from sparkfm_tpu.api import FM, FMModel
-from sparkfm_tpu.config import (ALSConfig, FMConfig, MeshConfig, SGDConfig,
-                                Solver, Task, TrainConfig)
+from sparkfm_tpu.config import (ALSConfig, FMConfig, MCMCConfig, MeshConfig,
+                                SGDConfig, Solver, Task, TrainConfig)
 from sparkfm_tpu.models.fm import FMParams, init_params, predict, scores
 
 __all__ = [
     "FM", "FMModel",
-    "ALSConfig", "FMConfig", "MeshConfig", "SGDConfig", "Solver", "Task",
-    "TrainConfig", "FMParams", "init_params", "predict", "scores",
+    "ALSConfig", "FMConfig", "MCMCConfig", "MeshConfig", "SGDConfig",
+    "Solver", "Task", "TrainConfig", "FMParams", "init_params", "predict",
+    "scores",
 ]
 
 __version__ = "0.1.0"
