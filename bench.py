@@ -62,7 +62,8 @@ def main():
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
                         optimizer=os.environ.get("BENCH_OPT", "adagrad"),
-                        update_path=path, unique_budget=budget)
+                        update_path=path, unique_budget=budget,
+                        accumulate=os.environ.get("BENCH_ACC", "auto"))
 
     resolved = sgd_solver.resolve_update_path(cfg, sgd_cfg)
     if resolved in ("fused", "sorted"):
@@ -112,7 +113,8 @@ def main():
             plan = E.DedupBatch(
                 uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
                 count=jnp.asarray(hp.count),
-                overflow=jnp.asarray(hp.overflow))
+                overflow=jnp.asarray(hp.overflow),
+                order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg))
         return SparseBatch(
             ids=jnp.asarray(ids),
             vals=jnp.ones((batch, nnz), jnp.float32),

@@ -102,6 +102,16 @@ class SGDConfig:
     # with device compute via data.batching.prefetch) instead of sorting
     # on device inside the step — saves ~4 ms/step at Criteo shapes.
     host_plan: bool = True
+    # How per-slot gradients reduce to per-unique-row gradients in the
+    # dedup/fused paths:
+    #   "scatter" — XLA scatter-add by rank (639Kx66: ~12 ms at Criteo
+    #               shapes on v5e).
+    #   "segsum"  — permute slots into id-sorted order (the plan carries
+    #               the permutation for free) + streaming Pallas segment
+    #               sum (~2-3 ms permute + ~1.5 ms reduce).
+    #   "auto"    — segsum on TPU when the plan carries the sort order,
+    #               else scatter.
+    accumulate: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

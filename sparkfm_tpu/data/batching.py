@@ -150,7 +150,8 @@ def batch_iterator(ds: SparseDataset, batch_size: int,
             plan = _E.DedupBatch(
                 uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
                 count=jnp.asarray(hp.count),
-                overflow=jnp.asarray(hp.overflow))
+                overflow=jnp.asarray(hp.overflow),
+                order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg))
         yield SparseBatch(
             ids=jnp.asarray(ids_np),
             vals=jnp.asarray(ds.vals[idx] * mask[:, None]),

@@ -55,12 +55,23 @@ class DedupBatch(NamedTuple):
             whose id ranked >= U alias the last budget slot; with the fill
             row as a dummy this degrades gracefully (their gathers read the
             dummy row; their updates all land on it).
+    order:  optional (N,) int32 — the id-sort permutation of flat slots
+            (flat_ids[order] is non-decreasing). Both plan builders emit
+            it for free (the sort happens anyway); it enables the hybrid
+            accumulate (:func:`accumulate_to_unique_sorted`): permute slot
+            grads once, then a streaming segment sum replaces the random
+            scatter-add.
+    seg:    optional (N,) int32 — dense rank of each *sorted* slot's id,
+            clipped to [0, U) (== ranks.reshape(-1)[order]); sorted
+            non-decreasing, step <= 1 — the pallas_segsum contract.
     """
 
     uids: jnp.ndarray
     ranks: jnp.ndarray
     count: jnp.ndarray
     overflow: jnp.ndarray
+    order: Optional[jnp.ndarray] = None
+    seg: Optional[jnp.ndarray] = None
 
 
 def dedup_ids(ids: jnp.ndarray, budget: int, fill: int) -> DedupBatch:
@@ -100,7 +111,7 @@ def dedup_ids(ids: jnp.ndarray, budget: int, fill: int) -> DedupBatch:
     uids = jnp.where(slot_idx < jnp.minimum(count, budget), uids, fill)
 
     return DedupBatch(uids=uids, ranks=ranks.reshape(shape), count=count,
-                      overflow=overflow)
+                      overflow=overflow, order=spos, seg=seg_c)
 
 
 def host_dedup(ids, budget: int, fill: int) -> DedupBatch:
@@ -131,7 +142,8 @@ def host_dedup(ids, budget: int, fill: int) -> DedupBatch:
     uids[:m] = sid[boundary][:m]
     return DedupBatch(uids=uids, ranks=ranks.reshape(shape),
                       count=_np.int32(count),
-                      overflow=_np.bool_(overflow))
+                      overflow=_np.bool_(overflow),
+                      order=order.astype(_np.int32), seg=seg_c)
 
 
 class SortedPlan(NamedTuple):
@@ -209,6 +221,28 @@ def accumulate_to_unique(g_slots: jnp.ndarray, plan: DedupBatch,
     flat_ranks = plan.ranks.reshape(-1)
     g2 = g_slots.reshape((flat_ranks.shape[0],) + g_slots.shape[len(plan.ranks.shape):])
     return jnp.zeros((budget,) + g2.shape[1:], g2.dtype).at[flat_ranks].add(g2)
+
+
+def accumulate_to_unique_sorted(g_slots: jnp.ndarray, plan: DedupBatch,
+                                budget: int,
+                                force: str = "auto") -> jnp.ndarray:
+    """Hybrid accumulate: permute per-slot grads into id-sorted order
+    (``plan.order``) and reduce contiguous runs with the streaming Pallas
+    segment-sum (ops/pallas_segsum.py).
+
+    Same result as :func:`accumulate_to_unique` up to float summation
+    order, but the big random scatter-add (measured ~12 ms at Criteo
+    shapes, 639Kx66) becomes one permute-gather (~2-3 ms) plus a ~1.5 ms
+    streaming pass. Requires ``plan.order``/``plan.seg`` (both plan
+    builders emit them).
+    """
+    assert plan.order is not None and plan.seg is not None
+    n = plan.order.shape[0]
+    flat = g_slots.reshape((n,) + g_slots.shape[len(plan.ranks.shape):])
+    srt = flat.at[plan.order].get(unique_indices=True,
+                                  mode="promise_in_bounds")
+    from sparkfm_tpu.ops import pallas_segsum as SS
+    return SS.segment_rowsum(srt, plan.seg, budget, force=force)
 
 
 def scatter_set_unique(table: jnp.ndarray, plan: DedupBatch,

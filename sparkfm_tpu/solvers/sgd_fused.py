@@ -141,16 +141,42 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             state.w0, w_rows, v_rows)
         g_w0, g_wrows, g_vrows = grads
 
-        # ---- ONE small scatter for the packed per-slot gradients
+        # ---- reduce per-slot gradients to per-unique-row gradients.
+        # "segsum" (hybrid): permute the NARROW pre-square payload
+        # [g_v | g_w] (k+1 lanes) into id-sorted order — the plan carries
+        # the permutation — square/pack in sorted space, and reduce the
+        # contiguous runs with the streaming Pallas segment-sum. Replaces
+        # the ~12 ms random scatter-add with ~2-3 ms permute + ~1.5 ms
+        # stream at Criteo shapes (v5e).
+        use_segsum = sgd_cfg.accumulate == "segsum" or (
+            sgd_cfg.accumulate == "auto" and plan.order is not None
+            and PR.use_pallas_rowio())
+        gv_s = g_vrows.reshape(-1, k)
+        gw_s = g_wrows.reshape(-1, 1)
+        if use_segsum and plan.order is not None:
+            from sparkfm_tpu.ops import pallas_segsum as SS
+            gvw = jnp.concatenate([gv_s, gw_s], axis=-1)      # (N, k+1)
+            gvw_s = gvw.at[plan.order].get(unique_indices=True,
+                                           mode="promise_in_bounds")
+            gv_s, gw_s = gvw_s[:, :k], gvw_s[:, k:]
+
+            def reduce_packed(parts):
+                return SS.segment_rowsum(
+                    jnp.concatenate(parts, axis=-1), plan.seg, budget)
+        else:
+            flat_ranks = plan.ranks.reshape(-1)
+
+            def reduce_packed(parts):
+                packed = jnp.concatenate(parts, axis=-1)      # (N, w)
+                return jnp.zeros((budget, packed.shape[-1]),
+                                 packed.dtype).at[flat_ranks].add(packed)
+
         lr = sgd_cfg.learning_rate
         if sgd_cfg.optimizer == "adagrad_row":
             # row-wise second moment: mean of squared grads over k lanes
-            packed = jnp.concatenate(
-                [g_vrows,
-                 jnp.mean(jnp.square(g_vrows), axis=-1, keepdims=True),
-                 g_wrows[..., None], jnp.square(g_wrows)[..., None]],
-                axis=-1)                                     # (B, L, k+3)
-            acc = E.accumulate_to_unique(packed, plan, budget)
+            acc = reduce_packed(
+                [gv_s, jnp.mean(jnp.square(gv_s), axis=-1, keepdims=True),
+                 gw_s, jnp.square(gw_s)])                    # (U, k+3)
             g_v_u, sq_row_u = acc[:, :k], acc[:, k]
             g_w_u, sq_w_u = acc[:, k + 1], acc[:, k + 2]
             slot_row_new = slot_v_u[:, 0] + sq_row_u
@@ -163,10 +189,9 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             w_new = w_u - lr * g_w_u * jax.lax.rsqrt(
                 slot_w_new + sgd_cfg.adagrad_eps)
         else:
-            packed = jnp.concatenate(
-                [g_vrows, jnp.square(g_vrows), g_wrows[..., None],
-                 jnp.square(g_wrows)[..., None]], axis=-1)   # (B, L, 2k+2)
-            acc = E.accumulate_to_unique(packed, plan, budget)  # (U, 2k+2)
+            acc = reduce_packed(
+                [gv_s, jnp.square(gv_s), gw_s,
+                 jnp.square(gw_s)])                          # (U, 2k+2)
             g_v_u, sq_v_u = acc[:, :k], acc[:, k:2 * k]
             g_w_u, sq_w_u = acc[:, 2 * k], acc[:, 2 * k + 1]
             if sgd_cfg.optimizer == "adagrad":

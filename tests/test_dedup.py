@@ -306,3 +306,76 @@ def test_prefetch_iterator_equivalence():
     assert len(a) == len(b)
     for x, z in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x.ids), np.asarray(z.ids))
+
+
+def test_plan_order_seg_consistency():
+    """Both plan builders emit the sort permutation + sorted dense ranks:
+    ids[order] must be non-decreasing and seg must equal ranks[order]."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sparkfm_tpu.ops import embedding as E
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 50, (6, 7)).astype(np.int32)
+    for plan in (E.dedup_ids(jnp.asarray(ids), 64, fill=50),
+                 E.host_dedup(ids, 64, fill=50)):
+        order = np.asarray(plan.order)
+        seg = np.asarray(plan.seg)
+        flat = ids.reshape(-1)
+        assert sorted(order.tolist()) == list(range(flat.size))
+        sid = flat[order]
+        assert np.all(np.diff(sid) >= 0)
+        np.testing.assert_array_equal(
+            seg, np.asarray(plan.ranks).reshape(-1)[order])
+
+
+def test_accumulate_sorted_matches_scatter():
+    import numpy as np
+    import jax.numpy as jnp
+    from sparkfm_tpu.ops import embedding as E
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 40, (5, 6)).astype(np.int32)
+    g = rng.normal(size=(5, 6, 9)).astype(np.float32)
+    plan = E.dedup_ids(jnp.asarray(ids), 48, fill=40)
+    a = E.accumulate_to_unique(jnp.asarray(g), plan, 48)
+    b = E.accumulate_to_unique_sorted(jnp.asarray(g), plan, 48,
+                                      force="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_step_segsum_matches_scatter():
+    """accumulate='segsum' (hybrid permute + segment-sum) changes only
+    float summation order vs the scatter-add accumulate."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.solvers import sgd_fused
+    rng = np.random.default_rng(13)
+    cfg = FMConfig(num_features=64, num_factors=4, reg_v=0.01, seed=1)
+    for opt in ("adagrad", "adagrad_row", "sgd"):
+        base_cfg = SGDConfig(batch_size=8, learning_rate=0.1,
+                             optimizer=opt, unique_budget=32)
+        states = {}
+        for acc in ("scatter", "segsum"):
+            sgd_cfg = dataclasses.replace(base_cfg, accumulate=acc)
+            step = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+            s = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+            r = np.random.default_rng(5)
+            for _ in range(3):
+                ids = r.integers(0, 64, (8, 5)).astype(np.int32)
+                hp = E.host_dedup(ids, 32, fill=64)
+                plan = jax.tree.map(jnp.asarray, hp)
+                b = SparseBatch(ids=jnp.asarray(ids),
+                                vals=jnp.asarray(
+                                    r.normal(size=(8, 5)).astype(np.float32)),
+                                y=jnp.asarray(
+                                    r.normal(size=(8,)).astype(np.float32)),
+                                mask=jnp.ones((8,), bool), plan=plan)
+                s, _ = step(s, b)
+            states[acc] = np.asarray(s.table[:64])
+        np.testing.assert_allclose(states["segsum"], states["scatter"],
+                                   rtol=1e-5, atol=1e-6)
