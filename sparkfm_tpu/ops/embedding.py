@@ -239,10 +239,19 @@ def accumulate_to_unique_sorted(g_slots: jnp.ndarray, plan: DedupBatch,
     assert plan.order is not None and plan.seg is not None
     n = plan.order.shape[0]
     flat = g_slots.reshape((n,) + g_slots.shape[len(plan.ranks.shape):])
+    # segment_rowsum wants (N, W); per-slot scalar payloads (shape == ids
+    # shape, as accumulate_to_unique accepts) ride as a width-1 column.
+    scalar = flat.ndim == 1
+    if scalar:
+        flat = flat[:, None]
+    elif flat.ndim > 2:
+        raise ValueError("sorted accumulate supports (N,) or (N, W) "
+                         f"payloads, got trailing shape {flat.shape[1:]}")
     srt = flat.at[plan.order].get(unique_indices=True,
                                   mode="promise_in_bounds")
     from sparkfm_tpu.ops import pallas_segsum as SS
-    return SS.segment_rowsum(srt, plan.seg, budget, force=force)
+    out = SS.segment_rowsum(srt, plan.seg, budget, force=force)
+    return out[:, 0] if scalar else out
 
 
 def scatter_set_unique(table: jnp.ndarray, plan: DedupBatch,

@@ -99,6 +99,10 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
                          "update_path='dedup' for adam/momentum")
     if sgd_cfg.momentum > 0 and sgd_cfg.optimizer == "sgd":
         raise ValueError("fused path: momentum not supported")
+    if sgd_cfg.accumulate not in ("auto", "scatter", "segsum"):
+        raise ValueError(
+            f"unknown accumulate={sgd_cfg.accumulate!r}; expected "
+            "'auto', 'scatter' or 'segsum'")
     k = cfg.num_factors
     scatter_mode = sgd_cfg.pallas_scatter
 
@@ -148,6 +152,11 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
         # contiguous runs with the streaming Pallas segment-sum. Replaces
         # the ~12 ms random scatter-add with ~2-3 ms permute + ~1.5 ms
         # stream at Criteo shapes (v5e).
+        if sgd_cfg.accumulate == "segsum" and plan.order is None:
+            raise ValueError(
+                "accumulate='segsum' requires a plan with the id-sort "
+                "permutation (plan.order/plan.seg); both dedup_ids and "
+                "host_dedup emit it — this plan was built without it")
         use_segsum = sgd_cfg.accumulate == "segsum" or (
             sgd_cfg.accumulate == "auto" and plan.order is not None
             and PR.use_pallas_rowio())

@@ -379,3 +379,120 @@ def test_fused_step_segsum_matches_scatter():
             states[acc] = np.asarray(s.table[:64])
         np.testing.assert_allclose(states["segsum"], states["scatter"],
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_adagrad_row_rejected_off_fused_path():
+    """optimizer='adagrad_row' exists only on the fused-record layout;
+    the direct/dedup element-wise paths must raise instead of silently
+    training with un-normalized plain-SGD steps (VERDICT r1 item 4)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.solvers import sgd as sgd_solver
+    cfg = FMConfig(num_features=32, num_factors=4, seed=0)
+    b = SparseBatch(ids=jnp.zeros((4, 3), jnp.int32),
+                    vals=jnp.ones((4, 3), jnp.float32),
+                    y=jnp.zeros((4,), jnp.float32),
+                    mask=jnp.ones((4,), bool))
+    for path in ("direct", "dedup"):
+        sgd_cfg = SGDConfig(batch_size=4, optimizer="adagrad_row",
+                            update_path=path, unique_budget=16)
+        step = sgd_solver.make_train_step(cfg, sgd_cfg)
+        state = sgd_solver.init_state(fm_model.init_params(cfg))
+        if path == "dedup":
+            state = sgd_solver.pad_state_for_dedup(state)
+        with pytest.raises(ValueError, match="adagrad_row"):
+            step(state, b)
+
+
+def test_adagrad_row_auto_routes_to_fused():
+    """auto path selection must send adagrad_row to the fused layout even
+    for small tables (where auto would otherwise pick 'direct')."""
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.solvers import sgd as sgd_solver
+    cfg = FMConfig(num_features=32, num_factors=4)
+    sgd_cfg = SGDConfig(batch_size=4, optimizer="adagrad_row",
+                        update_path="auto")
+    assert sgd_solver.resolve_update_path(cfg, sgd_cfg) == "fused"
+
+
+def test_fused_step_validates_accumulate():
+    """Unknown accumulate values and segsum-without-order plans must raise
+    instead of silently selecting the scatter path (ADVICE r1 item 1)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.solvers import sgd_fused
+    cfg = FMConfig(num_features=64, num_factors=4, seed=1)
+    with pytest.raises(ValueError, match="accumulate"):
+        sgd_fused.make_fused_train_step(
+            cfg, SGDConfig(batch_size=8, accumulate="segsumm"))
+
+    # Forced segsum with a plan built without order/seg: loud error.
+    sgd_cfg = SGDConfig(batch_size=8, optimizer="adagrad",
+                        unique_budget=32, accumulate="segsum")
+    step = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+    state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+    ids = np.arange(40, dtype=np.int32).reshape(8, 5) % 64
+    hp = E.host_dedup(ids, 32, fill=64)
+    plan = E.DedupBatch(uids=jnp.asarray(hp.uids),
+                        ranks=jnp.asarray(hp.ranks),
+                        count=jnp.asarray(hp.count),
+                        overflow=jnp.asarray(hp.overflow),
+                        order=None, seg=None)
+    b = SparseBatch(ids=jnp.asarray(ids), vals=jnp.ones((8, 5), jnp.float32),
+                    y=jnp.zeros((8,), jnp.float32),
+                    mask=jnp.ones((8,), bool), plan=plan)
+    with pytest.raises(ValueError, match="order"):
+        step(state, b)
+
+
+def test_accumulate_sorted_scalar_payload():
+    """Per-slot scalar payloads (shape == ids shape) ride the sorted
+    accumulate as a width-1 column (ADVICE r1 item 3); ndim > 2 trailing
+    shapes are rejected."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+    from sparkfm_tpu.ops import embedding as E
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 40, (5, 6)).astype(np.int32)
+    g = rng.normal(size=(5, 6)).astype(np.float32)   # scalar per slot
+    plan = E.dedup_ids(jnp.asarray(ids), 48, fill=40)
+    a = E.accumulate_to_unique(jnp.asarray(g), plan, 48)
+    b = E.accumulate_to_unique_sorted(jnp.asarray(g), plan, 48, force="xla")
+    assert b.shape == (48,)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+    g3 = rng.normal(size=(5, 6, 2, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="payload"):
+        E.accumulate_to_unique_sorted(jnp.asarray(g3), plan, 48, force="xla")
+
+
+def test_accumulate_sorted_interpret_fused_shapes():
+    """Run the actual Pallas segment-sum (interpret mode) on fused-step
+    payload shapes — k+3 and 2k+2 lanes padded to 128, N << tile — and
+    match the XLA fallback (ADVICE r1 item 2)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sparkfm_tpu.ops import embedding as E
+    rng = np.random.default_rng(17)
+    k = 4
+    ids = rng.integers(0, 30, (8, 5)).astype(np.int32)
+    plan = E.dedup_ids(jnp.asarray(ids), 32, fill=30)
+    for width in (k + 3, 2 * k + 2):
+        g = rng.normal(size=(8, 5, width)).astype(np.float32)
+        a = E.accumulate_to_unique_sorted(jnp.asarray(g), plan, 32,
+                                          force="xla")
+        b = E.accumulate_to_unique_sorted(jnp.asarray(g), plan, 32,
+                                          force="interpret")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
