@@ -104,13 +104,16 @@ class SGDConfig:
     host_plan: bool = True
     # How per-slot gradients reduce to per-unique-row gradients in the
     # dedup/fused paths:
-    #   "scatter" — XLA scatter-add by rank (639Kx66: ~12 ms at Criteo
-    #               shapes on v5e).
+    #   "scatter" — XLA scatter-add by rank (639Kx66: ~12 ms in-step at
+    #               Criteo shapes on v5e).
     #   "segsum"  — permute slots into id-sorted order (the plan carries
     #               the permutation for free) + streaming Pallas segment
-    #               sum (~2-3 ms permute + ~1.5 ms reduce).
-    #   "auto"    — segsum on TPU when the plan carries the sort order,
-    #               else scatter.
+    #               sum. In-step ablation (benchmarks/ablate_prod.py, v5e)
+    #               measured the permute at ~7.8 ms and the f32 segment
+    #               sum at ~7.2 ms — net SLOWER than scatter inside the
+    #               real step (standalone microbenches that suggested
+    #               otherwise missed the in-step fusion/overlap effects).
+    #   "auto"    — scatter (the measured in-step winner on v5e).
     accumulate: str = "auto"
 
 

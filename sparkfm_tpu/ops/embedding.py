@@ -146,6 +146,39 @@ def host_dedup(ids, budget: int, fill: int) -> DedupBatch:
                       order=order.astype(_np.int32), seg=seg_c)
 
 
+def stack_plans(ids, num_shards: int, budget: int, fill: int) -> DedupBatch:
+    """Per-data-shard host dedup plans for a sharded batch, stacked.
+
+    Splits the global (B, L) id block into ``num_shards`` equal row chunks,
+    runs :func:`host_dedup` on each, and stacks:
+
+      uids     (D, U)   — per-shard unique ids
+      ranks    (B, L)   — per-shard ranks, concatenated like ids (so the
+                          same P('data', None) spec shards both)
+      count    (D,)
+      overflow (D,)
+
+    order/seg are dropped: the sharded step reduces with the local
+    scatter-add, which only needs ranks. Used by
+    parallel.sharded_sgd.make_sharded_train_step's unique exchange.
+    """
+    import numpy as _np
+    b = ids.shape[0]
+    assert b % num_shards == 0, (b, num_shards)
+    chunk = b // num_shards
+    uids, ranks, counts, over = [], [], [], []
+    for d in range(num_shards):
+        hp = host_dedup(ids[d * chunk:(d + 1) * chunk], budget, fill)
+        uids.append(hp.uids)
+        ranks.append(hp.ranks)
+        counts.append(hp.count)
+        over.append(hp.overflow)
+    return DedupBatch(
+        uids=_np.stack(uids), ranks=_np.concatenate(ranks, axis=0),
+        count=_np.asarray(counts, _np.int32),
+        overflow=_np.asarray(over, bool), order=None, seg=None)
+
+
 class SortedPlan(NamedTuple):
     """Slot-sorted lookup plan (the ``update_path="sorted"`` layout).
 

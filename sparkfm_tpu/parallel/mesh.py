@@ -90,15 +90,33 @@ def state_pspecs(ffm: bool = False):
     )
 
 
-def batch_pspecs(has_mask: bool = True, has_fields: bool = False):
-    """PartitionSpecs for a SparseBatch: batch dimension over `data`."""
+def batch_pspecs(has_mask: bool = True, has_fields: bool = False,
+                 has_plan: bool = False):
+    """PartitionSpecs for a SparseBatch: batch dimension over `data`.
+
+    With ``has_plan``, the batch carries a *stacked* per-data-shard dedup
+    plan (ops.embedding.stack_plans): uids/count/overflow gain a leading
+    (D,) shard axis sharded over `data`; ranks concatenate along the batch
+    axis like ids. order/seg are not carried (the sharded step accumulates
+    with the local scatter-add, which needs only ranks).
+    """
     from sparkfm_tpu.data.batching import SparseBatch
+    plan = None
+    if has_plan:
+        from sparkfm_tpu.ops.embedding import DedupBatch
+        plan = DedupBatch(
+            uids=P(DATA_AXIS, None),
+            ranks=P(DATA_AXIS, None),
+            count=P(DATA_AXIS),
+            overflow=P(DATA_AXIS),
+            order=None, seg=None)
     return SparseBatch(
         ids=P(DATA_AXIS, None),
         vals=P(DATA_AXIS, None),
         y=P(DATA_AXIS),
         mask=P(DATA_AXIS) if has_mask else None,
         field_ids=P(DATA_AXIS, None) if has_fields else None,
+        plan=plan,
     )
 
 

@@ -9,20 +9,35 @@ FMModel lives whole on its heap). Here:
     (feature f lives on shard f // rows_per_shard) — no chip holds the full
     table; a 2^24-bucket Criteo table (BASELINE config 3) spreads evenly.
   * The batch is sharded over the `data` mesh axis.
-  * Forward gather of active rows = masked local lookup + `psum` over
-    `model`: each shard contributes its owned rows (zeros elsewhere); the sum
-    IS the gather. Comm per step: (B/D)·L·(K+1) floats over ICI.
-  * Backward scatter = `all_gather` of (ids, row-grads) over `data`, then each
-    model shard masks to the rows it owns and scatter-adds into its local
-    table — the sparse-update analog of gradient psum. Non-owned entries
-    scatter exact zeros to row 0, so no padding row is needed.
-  * The loss is globally exact: per-shard weighted sums are `psum`-combined
-    and normalized by the global valid-example count, so gradients match the
-    single-device step bit-for-bit in exact arithmetic (tested on the 8-device
-    CPU mesh in tests/test_sharding.py).
 
-Everything is one `shard_map`-wrapped jitted step; XLA lowers psum/all_gather
-to ICI collectives on a real slice.
+Two exchange strategies (``make_sharded_train_step(..., exchange=...)``):
+
+  * ``"unique"`` (default for adagrad/sgd) — the SURVEY §2.7 centerpiece.
+    Each data shard dedups its batch ids (host plan or on-device sorts,
+    ops/embedding.py), then:
+      forward:  ONE psum over `model` of the masked (U, K+1) UNIQUE rows —
+                comm scales with the unique count U, not B·L slots (a
+                ~L·dedup-ratio reduction: 16x at Criteo shapes); slots are
+                spread locally from the U-row matrix.
+      backward: per-slot grads reduce LOCALLY to per-unique [Σg | Σg²]
+                (the same sum/sum-of-squares the single-chip dedup path
+                accumulates), then ONE all_gather over `data` of the packed
+                (U, 2K+2) unique grads + uids; each model shard masks to
+                the rows it owns and scatter-adds — comm again scales with
+                U, and the local scatter touches D·U rows, not B·L.
+    Update math is identical to the single-chip direct/dedup paths in exact
+    arithmetic (the adagrad accumulator sees the same Σg² and every
+    duplicate sees the post-accumulation slot); only float summation order
+    differs (tested to tight tolerance on the 8-device CPU mesh).
+  * ``"dense"`` — the simple masked-psum of full slot-row tensors +
+    all_gather of slot grads. Comm scales with B·L. Kept for adam/momentum
+    (their slot updates don't decompose into cross-shard adds) and as the
+    oracle in parity tests.
+
+The loss is globally exact in both: per-shard weighted sums are
+`psum`-combined and normalized by the global valid-example count.
+Everything is one `shard_map`-wrapped jitted step; XLA lowers
+psum/all_gather to ICI collectives on a real slice.
 """
 
 from __future__ import annotations
@@ -48,15 +63,19 @@ def init_sharded_state(cfg: FMConfig, mesh: Mesh,
                        key: jax.Array | None = None) -> tuple:
     """Initialize an SGDState with tables row-sharded over `model`.
 
-    Pads num_features up to a multiple of the model-axis size (padding rows
-    are never referenced by any example, so they stay at init — the same
-    "empty column" semantics the ALS guard gives, reference ALS.scala:39).
+    Pads num_features + 1 up to a multiple of the model-axis size: padding
+    rows are never referenced by any example, so they stay at init — the
+    same "empty column" semantics the ALS guard gives (reference
+    ALS.scala:39) — and the +1 guarantees at least one padding row, which
+    the unique exchange uses as the dedup fill/dummy row
+    (id = padded_features - 1, owned by the last model shard; it only ever
+    receives exact-zero gradient adds).
 
     Returns (state, padded_cfg).
     """
     from sparkfm_tpu.models import fm as fm_model
     msize = mesh.shape[M.MODEL_AXIS]
-    f_pad = M.pad_to_multiple(cfg.num_features, msize)
+    f_pad = M.pad_to_multiple(cfg.num_features + 1, msize)
     pcfg = cfg.replace(num_features=f_pad)
     params = fm_model.init_params(pcfg, key)
     state = sgd_solver.init_state(params)
@@ -133,12 +152,175 @@ def _loss_sums_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
     return data_sum, reg_sum, count, s
 
 
-def make_sharded_train_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
+def _unique_row_update(opt: str, lr: float, sgd_cfg: SGDConfig,
+                       table, slot, lids, g_u, sq_u):
+    """Owner-shard optimizer update from exchanged per-unique sums.
+
+    ``g_u``/``sq_u`` are Σgrad / Σgrad² over each source shard's slots for
+    one unique id (masked to zero off-owner); the same id may appear once
+    per data shard, so everything is expressed as scatter-ADDs with a
+    post-accumulation re-gather — exactly the direct path's adagrad
+    semantics (solvers/sgd.py::_row_update) with the per-slot sums
+    pre-reduced."""
+    if opt == "adagrad":
+        slot = slot.at[lids].add(sq_u)
+        scale = jax.lax.rsqrt(slot[lids] + sgd_cfg.adagrad_eps)
+        table = table.at[lids].add(-lr * g_u * scale)
+    else:  # plain sgd (momentum rejected by the exchange router)
+        table = table.at[lids].add(-lr * g_u)
+    return table, slot
+
+
+def make_sharded_train_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh,
+                            exchange: str = "auto"):
     """Build the jitted shard_map train step over the (data, model) mesh.
 
-    cfg.num_features must already be padded to a multiple of the model-axis
-    size (init_sharded_state does this).
+    cfg.num_features must already be padded (init_sharded_state does this).
+
+    exchange: "unique" (per-shard dedup; collectives move unique rows —
+    see module doc), "dense" (full slot tensors), or "auto" (unique for
+    adagrad / plain sgd, dense for adam / momentum, whose slot updates
+    don't decompose into cross-shard adds).
     """
+    if exchange == "auto":
+        exchange = ("unique" if sgd_cfg.optimizer in ("adagrad", "sgd")
+                    and sgd_cfg.momentum == 0 else "dense")
+    if exchange not in ("unique", "dense"):
+        raise ValueError(f"unknown exchange={exchange!r}")
+    if exchange == "unique" and (
+            sgd_cfg.optimizer not in ("adagrad", "sgd")
+            or sgd_cfg.momentum > 0):
+        raise ValueError("unique exchange supports adagrad/plain sgd; use "
+                         "exchange='dense' for adam/momentum")
+    if exchange == "unique":
+        return _make_unique_sharded_step(cfg, sgd_cfg, mesh)
+    return _make_dense_sharded_step(cfg, sgd_cfg, mesh)
+
+
+def _make_unique_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
+    """The unique-row exchange step (module doc, strategy "unique")."""
+    from sparkfm_tpu.ops import embedding as E
+
+    ffm = cfg.num_fields > 0
+    k = cfg.num_factors
+    kf = cfg.num_fields * k if ffm else k
+    fill = cfg.num_features - 1       # padding row (init_sharded_state +1)
+    state_specs = M.state_pspecs(ffm=ffm)
+    aux_specs = {"loss": P(), "unique_count": P(), "unique_overflow": P()}
+
+    def step(state: SGDState, batch: SparseBatch):
+        p = state.params
+        rows_per_shard = p.w.shape[0]
+        ids = batch.ids                            # (B/D, L) global ids
+        n_loc = ids.shape[0] * ids.shape[1]
+
+        if batch.plan is not None:
+            uids = batch.plan.uids[0]              # (U,) this shard's plan
+            ranks = batch.plan.ranks               # (B/D, L)
+            count = batch.plan.count[0]
+            overflow = batch.plan.overflow[0]
+            budget = uids.shape[0]
+        else:
+            budget = sgd_cfg.unique_budget or E.auto_budget(n_loc)
+            pl = E.dedup_ids(ids, budget, fill=fill)
+            uids, ranks = pl.uids, pl.ranks
+            count, overflow = pl.count, pl.overflow
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(count, budget)
+
+        # ---- forward: ONE psum over `model` of masked UNIQUE rows
+        w_u = _gather_rows(p.w, uids, M.MODEL_AXIS)          # (U,)
+        v_u = _gather_rows(p.v, uids, M.MODEL_AXIS)          # (U,[nf,]k)
+        w_u = jnp.where(valid_u, w_u, 0.0)
+        v_u = jnp.where(valid_u.reshape((-1,) + (1,) * (v_u.ndim - 1)),
+                        v_u, 0.0)
+
+        # local spread from the small unique matrix (no collective)
+        vw_u = jnp.concatenate([v_u.reshape(budget, kf), w_u[:, None]],
+                               axis=1)
+        vw_rows = vw_u[ranks]                                # (B/D, L, kf+1)
+        v_rows = vw_rows[..., :kf].reshape(ids.shape + v_u.shape[1:])
+        w_rows = vw_rows[..., kf]
+
+        def objective(w0, w_rows, v_rows):
+            dsum, rsum, count_ex, _ = _loss_sums_from_rows(
+                w0, w_rows, v_rows, batch, cfg)
+            total = jax.lax.psum(count_ex, M.DATA_AXIS)
+            inv = 1.0 / jnp.maximum(total, 1.0)
+            return (dsum + rsum) * inv, (dsum, total)
+
+        grads, (dsum, total) = jax.grad(
+            objective, argnums=(0, 1, 2), has_aux=True)(p.w0, w_rows, v_rows)
+        g_w0, g_wrows, g_vrows = grads
+
+        # ---- local reduce: per-unique [Σg_v | Σg_w | Σg_v² | Σg_w²]
+        gv = g_vrows.reshape(n_loc, kf)
+        gw = g_wrows.reshape(n_loc, 1)
+        packed = jnp.concatenate(
+            [gv, gw, jnp.square(gv), jnp.square(gw)], axis=-1)
+        acc = jnp.zeros((budget, 2 * kf + 2), packed.dtype
+                        ).at[ranks.reshape(-1)].add(packed)   # (U, 2kf+2)
+
+        # ---- exchange: ONE all_gather over `data` of unique grads + ids
+        uids_all = jax.lax.all_gather(uids, M.DATA_AXIS, tiled=True)
+        acc_all = jax.lax.all_gather(acc, M.DATA_AXIS, tiled=True)
+
+        mine, lids = _own_mask_and_lid(uids_all, rows_per_shard,
+                                       M.MODEL_AXIS)
+        acc_all = jnp.where(mine[:, None], acc_all, 0.0)
+        g_v_u = acc_all[:, :kf]
+        g_w_u = acc_all[:, kf]
+        sq_v_u = acc_all[:, kf + 1:2 * kf + 1]
+        sq_w_u = acc_all[:, 2 * kf + 1]
+        if ffm:
+            g_v_u = g_v_u.reshape(-1, cfg.num_fields, k)
+            sq_v_u = sq_v_u.reshape(-1, cfg.num_fields, k)
+
+        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
+        w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
+                                   lids, g_w_u, sq_w_u)
+        v, sv = _unique_row_update(opt, lr, sgd_cfg, p.v, state.slot_v,
+                                   lids, g_v_u, sq_v_u)
+
+        if cfg.use_bias:
+            g_w0_glob = jax.lax.psum(g_w0, M.DATA_AXIS)
+            w0, sw0, s2w0 = sgd_solver._dense_scalar_update(
+                opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
+                g_w0_glob, state.step)
+        else:
+            w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
+
+        loss = jax.lax.psum(dsum, M.DATA_AXIS) / jnp.maximum(total, 1.0)
+        new_state = SGDState(
+            params=FMParams(w0=w0, w=w, v=v),
+            slot_w0=sw0, slot_w=sw, slot_v=sv,
+            slot2_w0=s2w0, slot2_w=state.slot2_w, slot2_v=state.slot2_v,
+            step=state.step + 1)
+        aux = {"loss": loss,
+               "unique_count": jax.lax.pmax(count, M.DATA_AXIS),
+               "unique_overflow": jax.lax.pmax(
+                   overflow.astype(jnp.int32), M.DATA_AXIS) > 0}
+        return new_state, aux
+
+    cache = {}
+
+    def call(state, batch):
+        has_plan = batch.plan is not None
+        if has_plan not in cache:
+            batch_specs = M.batch_pspecs(has_mask=True, has_fields=ffm,
+                                         has_plan=has_plan)
+            sharded = shard_map(
+                step, mesh=mesh,
+                in_specs=(state_specs, batch_specs),
+                out_specs=(state_specs, aux_specs),
+                check_vma=False)
+            cache[has_plan] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[has_plan](state, batch)
+
+    return call
+
+
+def _make_dense_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
+    """The dense slot-tensor exchange (module doc, strategy "dense")."""
     ffm = cfg.num_fields > 0
     state_specs = M.state_pspecs(ffm=ffm)
     batch_specs = M.batch_pspecs(has_mask=True, has_fields=ffm)
@@ -212,7 +394,17 @@ def make_sharded_train_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         in_specs=(state_specs, batch_specs),
         out_specs=(state_specs, aux_specs),
         check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0,))
+    jitted = jax.jit(sharded, donate_argnums=(0,))
+
+    def call(state, batch):
+        if batch.plan is not None:
+            # dense exchange has no use for a dedup plan; drop it so the
+            # batch pytree matches the specs.
+            import dataclasses as _dc
+            batch = _dc.replace(batch, plan=None)
+        return jitted(state, batch)
+
+    return call
 
 
 def make_sharded_score_fn(cfg: FMConfig, mesh: Mesh):

@@ -149,17 +149,17 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
         # "segsum" (hybrid): permute the NARROW pre-square payload
         # [g_v | g_w] (k+1 lanes) into id-sorted order — the plan carries
         # the permutation — square/pack in sorted space, and reduce the
-        # contiguous runs with the streaming Pallas segment-sum. Replaces
-        # the ~12 ms random scatter-add with ~2-3 ms permute + ~1.5 ms
-        # stream at Criteo shapes (v5e).
+        # contiguous runs with the streaming Pallas segment-sum.
+        # In-step ablation (benchmarks/ablate_prod.py, v5e, B=16K Criteo
+        # shape) measured permute ~7.8 ms + segsum ~7.2 ms vs ~12 ms for
+        # the plain scatter-add — so "auto" picks SCATTER; segsum stays
+        # as an explicit opt-in (and the kernel for the sharded paths).
         if sgd_cfg.accumulate == "segsum" and plan.order is None:
             raise ValueError(
                 "accumulate='segsum' requires a plan with the id-sort "
                 "permutation (plan.order/plan.seg); both dedup_ids and "
                 "host_dedup emit it — this plan was built without it")
-        use_segsum = sgd_cfg.accumulate == "segsum" or (
-            sgd_cfg.accumulate == "auto" and plan.order is not None
-            and PR.use_pallas_rowio())
+        use_segsum = sgd_cfg.accumulate == "segsum"
         gv_s = g_vrows.reshape(-1, k)
         gw_s = g_wrows.reshape(-1, 1)
         if use_segsum and plan.order is not None:
