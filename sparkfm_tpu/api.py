@@ -102,6 +102,25 @@ class FMModel:
         return cls(params=params, cfg=cfg)
 
 
+def _parse_mesh(mesh):
+    """Accept None | Mesh | MeshConfig | "DxM" string, return Mesh|None."""
+    if mesh is None:
+        return None
+    from jax.sharding import Mesh as _Mesh
+
+    from sparkfm_tpu.config import MeshConfig
+    from sparkfm_tpu.parallel import mesh as _M
+    if isinstance(mesh, _Mesh):
+        return mesh
+    if isinstance(mesh, MeshConfig):
+        return _M.mesh_from_config(mesh)
+    if isinstance(mesh, str):
+        d, m = (int(x) for x in mesh.lower().split("x"))
+        return _M.make_mesh(d, m)
+    raise ValueError(f"mesh must be None, Mesh, MeshConfig or 'DxM' string; "
+                     f"got {mesh!r}")
+
+
 def _cfg_to_json(cfg: FMConfig) -> dict:
     d = dataclasses.asdict(cfg)
     d["task"] = cfg.task.value
@@ -140,7 +159,8 @@ class FM:
                  learning_rate: float = 0.05, batch_size: int = 8192,
                  optimizer: str = "adagrad", num_fields: int = 0,
                  block_size: int = 4096,
-                 eval_every: int = 1):
+                 eval_every: int = 1,
+                 mesh=None):
         self.num_factors = num_factors
         self.task = task
         self.max_iter = max_iter
@@ -156,6 +176,10 @@ class FM:
         self.num_fields = num_fields
         self.block_size = block_size
         self.eval_every = eval_every
+        # Device-mesh training (solver="sgd" only): a jax.sharding.Mesh, a
+        # config.MeshConfig, or a "DATAxMODEL" string like "4x2". None =
+        # single device. See training.trainer.train_sgd(mesh=...).
+        self.mesh = _parse_mesh(mesh)
 
     def _cfg(self, train: SparseDataset) -> FMConfig:
         return FMConfig(
@@ -176,6 +200,12 @@ class FM:
         materialize first (the reference's 'Method 1').
         """
         from sparkfm_tpu.data.relational import RelationalDataset
+        if self.mesh is not None and (self.solver != "sgd"
+                                      or isinstance(train,
+                                                    RelationalDataset)):
+            raise ValueError("mesh training currently supports solver='sgd' "
+                             "on a SparseDataset (materialize relational "
+                             "data first)")
         if isinstance(train, RelationalDataset):
             cfg = self._cfg(train)
             key = jax.random.PRNGKey(self.seed)
@@ -203,7 +233,8 @@ class FM:
                                 epochs=self.max_iter)
             res = _trainer.train_sgd(cfg, sgd_cfg, train, eval_ds,
                                      self.eval_every, key,
-                                     checkpoint_dir=checkpoint_dir)
+                                     checkpoint_dir=checkpoint_dir,
+                                     mesh=self.mesh)
         elif self.solver == "als":
             from sparkfm_tpu.solvers.als import train_als
             # Jacobi-within-block diverges if one block spans strongly

@@ -83,13 +83,18 @@ def cmd_train(args) -> int:
     else:
         train, test = ds, None
 
+    if getattr(args, "distributed", False):
+        from sparkfm_tpu.parallel import multihost
+        multihost.initialize()
+
     task = Task(args.task)
     fm = FM(num_factors=args.factors, task=task, max_iter=args.iters,
             solver=args.solver, reg0=args.reg0, reg_w=args.reg_w,
             reg_v=args.reg_v, init_stdev=args.init_stdev, seed=args.seed,
             learning_rate=args.lr, batch_size=args.batch_size,
             optimizer=args.optimizer, num_fields=args.fields,
-            eval_every=args.eval_every)
+            eval_every=args.eval_every,
+            mesh=getattr(args, "mesh", None))
     model = fm.fit(train, eval_ds=test, checkpoint_dir=args.checkpoint_dir)
 
     out = {"examples_per_sec": round(model.examples_per_sec, 1),
@@ -223,6 +228,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--fields", type=int, default=0,
                    help="FFM: number of fields (>0 enables field-aware "
                         "factors; --synth ctr emits per-field ids)")
+    t.add_argument("--mesh", default=None,
+                   help="train over a (data, model) device mesh, e.g. "
+                        "'4x2' = 4-way data x 2-way table row sharding "
+                        "(solver=sgd only; multi-host runs also need "
+                        "--distributed)")
+    t.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() first "
+                        "(multi-host SPMD; every host runs this command)")
     t.add_argument("--optimizer", default="adagrad",
                    choices=["adagrad", "sgd", "adam"])
     t.add_argument("--eval-every", type=int, default=1)

@@ -84,38 +84,83 @@ def fm_scores_from_gathered(w0, w_rows, v_rows, vals,
     return out.astype(jnp.float32)
 
 
+def ffm_interaction_from_rows(vr, vals_c, field_ids, num_fields: int):
+    """FFM pairwise interaction, field-aggregated.
+
+    Each feature j carries ``num_fields`` latent vectors; the pair (a, b)
+    with fields (f_a, f_b) contributes <v_a[f_b], v_b[f_a]> * x_a * x_b.
+
+    Instead of materializing per-pair tensors (the old path built a
+    (B, L, L, K) "factor toward the other slot's field" tensor — hundreds
+    of MB at Avazu shapes, VERDICT r1 item 7), aggregate by SOURCE field:
+
+        S[b, u, t, :] = sum_{a: field(a)=u} x_a * v_a[t, :]     (B, F, F, K)
+
+    Then the ordered-pair total telescope-sums over field pairs:
+
+        T = sum_{t,u} <S[u, t], S[t, u]>
+
+    and the unordered interaction is (T - D) / 2 where D removes the a == b
+    self-pairs: D = sum_a x_a^2 |v_a[f_a]|^2. Identical math to the
+    pairwise form (parity-tested), O(B·F²·K) memory instead of O(B·L²·K),
+    and the one-hot contraction is an MXU matmul.
+
+    Args:
+      vr: (B, L, F, K) gathered per-slot per-target-field factors
+          (compute dtype).
+      vals_c: (B, L) values (padding exactly 0).
+      field_ids: (B, L) int32 field of each slot.
+    """
+    f_oh = jax.nn.one_hot(field_ids, num_fields, dtype=vr.dtype)  # (B,L,F)
+    xv = vr * vals_c[..., None, None]                       # (B, L, F, K)
+    # S[b,u,t,k] = sum_a f_oh[b,a,u] * xv[b,a,t,k]
+    s = jnp.einsum("bau,batk->butk", f_oh, xv)              # (B, F, F, K)
+    total = jnp.einsum("butk,btuk->b", s, s)
+    # self-pairs: v_a at its own field
+    vaa = jnp.einsum("batk,bat->bak", xv, f_oh)             # (B, L, K)
+    diag = jnp.sum(jnp.square(vaa), axis=(1, 2))
+    return 0.5 * (total - diag)
+
+
 def ffm_scores_from_gathered(w0, w_rows, v_rows, vals, field_ids,
                              num_fields: int,
                              use_bias: bool = True, use_linear: bool = True,
                              compute_dtype=jnp.float32) -> jnp.ndarray:
     """Field-aware FM (FFM) scores from gathered per-field factor rows.
 
-    Each feature j carries `num_fields` latent vectors; the interaction
-    between features j (field fj) and j' (field fj') uses v_{j,fj'} . v_{j',fj}.
-
-    We compute it as: for each ordered pair of slots (a, b),
-      contrib = <v_rows[a, field(b)], v_rows[b, field(a)]> * x_a * x_b
-    summed over unordered pairs. Padding entries have val == 0.
+    Uses the field-aggregated O(B·F²·K) interaction
+    (:func:`ffm_interaction_from_rows`); the O(B·L²·K) pairwise form is
+    kept as :func:`ffm_scores_pairwise` for parity tests.
 
     Args:
       v_rows: (B, L, num_fields, K) — per-slot, per-target-field factors.
       field_ids: (B, L) int32 field of each active feature.
     """
+    vals_c = vals.astype(compute_dtype)
+    vr = v_rows.astype(compute_dtype)
+    out = ffm_interaction_from_rows(vr, vals_c, field_ids, num_fields)
+    if use_linear:
+        out = out + jnp.sum(w_rows.astype(compute_dtype) * vals_c, axis=-1)
+    if use_bias:
+        out = out + w0.astype(compute_dtype)
+    return out.astype(jnp.float32)
+
+
+def ffm_scores_pairwise(w0, w_rows, v_rows, vals, field_ids,
+                        num_fields: int,
+                        use_bias: bool = True, use_linear: bool = True,
+                        compute_dtype=jnp.float32) -> jnp.ndarray:
+    """The direct per-pair FFM form (O(B·L²·K) memory): for each ordered
+    slot pair (a, b), contrib = <v_a[field(b)], v_b[field(a)]> x_a x_b over
+    the strict upper triangle. Semantics oracle for the aggregated path."""
     B, L = vals.shape
     vals_c = vals.astype(compute_dtype)
     vr = v_rows.astype(compute_dtype)
-
-    # va[b, a, t, :] = factor of slot a toward field t
-    # For the pair (a, b): need vr[b, a, field[b, b_slot]] . vr[b, b_slot, field[b, a]]
-    # Gather along the field axis for every (slot, other-slot) pair:
-    # f_oh: (B, L, num_fields) one-hot of each slot's field.
     f_oh = jax.nn.one_hot(field_ids, num_fields, dtype=compute_dtype)
-    # v_toward[b, a, c, :] = vr[b, a, field(c)] = sum_t f_oh[b, c, t] * vr[b, a, t, :]
+    # v_toward[b, a, c, :] = vr[b, a, field(c)]
     v_toward = jnp.einsum("batk,bct->back", vr, f_oh)        # (B, L, L, K)
-    # pair_dot[b, a, c] = <v_toward[b,a,c], v_toward[b,c,a]>
     pair_dot = jnp.einsum("back,bcak->bac", v_toward, v_toward)
     xx = vals_c[:, :, None] * vals_c[:, None, :]             # (B, L, L)
-    # strictly upper triangle (unordered pairs, no self-interaction)
     iu = jnp.triu(jnp.ones((L, L), dtype=bool), k=1)
     out = jnp.sum(jnp.where(iu[None], pair_dot * xx, 0.0), axis=(1, 2))
     if use_linear:

@@ -182,14 +182,24 @@ def gather_rows(table, ids, force: str = "auto",
     return out[:u] if pad else out
 
 
-def scatter_set_rows_xla(table, ids, rows, indices_are_sorted=False):
+def scatter_set_rows_xla(table, ids, rows, indices_are_sorted=False,
+                         unique_indices=False):
     """XLA row write with identical semantics.
 
-    unique_indices is NOT asserted: dedup plans pad unused budget slots
-    with a repeated fill id (the dummy row), and lying to XLA about
-    uniqueness there is undefined behavior.
+    Flag economics measured on v5e (2^16 x 128 rows into a (2^22, 128)
+    donated table, chained timing):
+      sorted=True,  unique=False:  6.9 ms
+      sorted=False, unique=True:   4.7 ms   <- the dedup write-back choice
+      sorted=True,  unique=True:   XLA compile hangs (>280 s) — never
+                                   combine them on this backend.
+    unique_indices is only passed when the caller opts in: dedup plans pad
+    unused budget slots with a repeated fill id, so uniqueness is violated
+    ONLY on the dummy row — its value races, which is fine exactly because
+    the dummy row's content is garbage by contract. Callers writing real
+    rows under duplicate ids must keep unique_indices=False.
     """
     return table.at[ids].set(rows, indices_are_sorted=indices_are_sorted,
+                             unique_indices=unique_indices,
                              mode="promise_in_bounds")
 
 
@@ -202,7 +212,8 @@ def use_pallas_rowio() -> bool:
 
 
 def scatter_set(table, ids, rows, force: str = "auto",
-                indices_are_sorted: bool = False):
+                indices_are_sorted: bool = False,
+                unique_indices: bool = False):
     """Row write dispatch: force in {"auto", "pallas", "xla", "interpret"}.
 
     "auto" is XLA scatter: honest chained-timing on v5e measured XLA at
@@ -224,8 +235,12 @@ def scatter_set(table, ids, rows, force: str = "auto",
 
     aligned = flat_rows.shape[1] == 128
     if force in ("auto", "xla") or not aligned:
-        out = scatter_set_rows_xla(flat_table, ids, flat_rows,
-                                   indices_are_sorted=indices_are_sorted)
+        # NEVER pass sorted+unique together: that combination hangs the
+        # XLA:TPU scatter emitter (see scatter_set_rows_xla doc).
+        out = scatter_set_rows_xla(
+            flat_table, ids, flat_rows,
+            indices_are_sorted=indices_are_sorted and not unique_indices,
+            unique_indices=unique_indices)
     else:
         interpret = force == "interpret"
         u = ids.shape[0]

@@ -75,16 +75,48 @@ def host_local_to_global(mesh: Mesh, spec: P, host_local: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, host_local)
 
 
-def global_batch(mesh: Mesh, batch, has_fields: bool = False):
-    """Lift a host-local SparseBatch into a globally (data-)sharded one."""
+def global_batch(mesh: Mesh, batch, has_fields: bool = False, plan=None):
+    """Lift a host-local SparseBatch into a globally (data-)sharded one.
+
+    ``plan`` (optional): a stacked per-data-shard dedup plan
+    (ops.embedding.stack_plans) to ride the batch — lifted with the
+    matching specs so the sharded unique exchange can consume it.
+    """
     from sparkfm_tpu.data.batching import SparseBatch
     specs = M.batch_pspecs(has_mask=batch.mask is not None,
-                           has_fields=has_fields)
+                           has_fields=has_fields,
+                           has_plan=plan is not None)
     lift = lambda x, s: None if x is None else host_local_to_global(
         mesh, s, np.asarray(x))
+    lifted_plan = None
+    if plan is not None:
+        from sparkfm_tpu.ops.embedding import DedupBatch
+        lifted_plan = DedupBatch(
+            uids=lift(plan.uids, specs.plan.uids),
+            ranks=lift(plan.ranks, specs.plan.ranks),
+            count=lift(plan.count, specs.plan.count),
+            overflow=lift(plan.overflow, specs.plan.overflow),
+            order=None, seg=None)
     return SparseBatch(
         ids=lift(batch.ids, specs.ids),
         vals=lift(batch.vals, specs.vals),
         y=lift(batch.y, specs.y),
         mask=lift(batch.mask, specs.mask),
-        field_ids=lift(batch.field_ids, specs.field_ids))
+        # drop field_ids when the model doesn't use fields (plain FM on a
+        # fielded dataset) — the step's specs won't carry them either.
+        field_ids=(lift(batch.field_ids, specs.field_ids)
+                   if has_fields else None),
+        plan=lifted_plan)
+
+
+def collect(x) -> np.ndarray:
+    """Fetch a (possibly globally sharded) array to a host numpy value,
+    identical on every process.
+
+    Single-process: plain device fetch (handles multi-device shardings).
+    Multi-process: process_allgather assembles the non-addressable shards.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -357,11 +357,17 @@ def _make_dedup_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
                     t_u = t_u - lr * s_u
                 else:
                     t_u = t_u - lr * g_u
-            table = PR.scatter_set(table, plan.uids, t_u, force=scatter_mode)
-            slot = PR.scatter_set(slot, plan.uids, s_u, force=scatter_mode)
+            # unique hint: duplicate fill ids only race on the dummy row
+            # (garbage by contract); measured ~1.5x faster than the sorted
+            # hint on v5e (ops/pallas_rowio.scatter_set_rows_xla doc).
+            table = PR.scatter_set(table, plan.uids, t_u, force=scatter_mode,
+                                   unique_indices=True)
+            slot = PR.scatter_set(slot, plan.uids, s_u, force=scatter_mode,
+                                  unique_indices=True)
             if opt == "adam":
                 slot2 = PR.scatter_set(slot2, plan.uids, s2_u,
-                                       force=scatter_mode)
+                                       force=scatter_mode,
+                                       unique_indices=True)
             return table, slot, slot2
 
         w, sw, s2w = unique_update(p.w, state.slot_w, state.slot2_w,

@@ -220,9 +220,12 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             [v_new, slot_v_new, w_new[:, None], slot_w_new[:, None],
              jnp.zeros((budget, pad), jnp.float32)], axis=1)
 
-        # ---- ONE big-table write-back
+        # ---- ONE big-table write-back. unique beats sorted by ~2.2 ms at
+        # Criteo shapes (and sorted+unique hangs the XLA:TPU compiler — see
+        # ops/pallas_rowio.scatter_set_rows_xla); duplicate fill ids only
+        # race on the dummy row, whose content is garbage by contract.
         table = PR.scatter_set(state.table, plan.uids, rec_new,
-                               force=scatter_mode, indices_are_sorted=True)
+                               force=scatter_mode, unique_indices=True)
 
         if cfg.use_bias:
             w0, sw0, _ = sgd_solver._dense_scalar_update(

@@ -81,8 +81,17 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
               hooks: Optional[List[Callable]] = None,
               checkpoint_dir: Optional[str] = None,
               checkpoint_every: int = 1,
-              resume: bool = True) -> TrainResult:
-    """Single-host SGD training (BASELINE config 1 path).
+              resume: bool = True,
+              mesh=None) -> TrainResult:
+    """SGD training (BASELINE config 1 path).
+
+    With ``mesh`` set (a jax.sharding.Mesh from parallel.mesh.make_mesh, or
+    a config.MeshConfig), training runs the sharded shard_map step over the
+    (data, model) device mesh — tables row-sharded, batches data-sharded,
+    unique-row collectives (parallel/sharded_sgd.py) — instead of the
+    single-device step. This is the one-call mesh entry point (SURVEY §7
+    step 7); multi-process runs call parallel.multihost.initialize() first
+    and every process executes this same function.
 
     With ``checkpoint_dir`` set, the full state is async-saved every
     ``checkpoint_every`` epochs and, if ``resume`` and a checkpoint exists,
@@ -90,6 +99,10 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     (seed, epoch)-keyed batch order — a resumed run reproduces an
     uninterrupted one exactly (tests/test_checkpoint.py).
     """
+    if mesh is not None:
+        return _train_sgd_sharded(cfg, sgd_cfg, train, eval_ds, eval_every,
+                                  key, hooks, checkpoint_dir,
+                                  checkpoint_every, resume, mesh)
     path = sgd_solver.resolve_update_path(cfg, sgd_cfg)
     if path in ("fused", "sorted"):
         from sparkfm_tpu.solvers import sgd_fused
@@ -137,6 +150,7 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     from sparkfm_tpu.data.batching import prefetch
     for epoch in range(start_epoch, sgd_cfg.epochs):
         losses = []
+        overflows = []
         for i, batch in enumerate(prefetch(batch_iterator(
                 train, sgd_cfg.batch_size,
                 shuffle=sgd_cfg.shuffle_each_epoch, seed=cfg.seed,
@@ -149,10 +163,24 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
                 aux["loss"].block_until_ready()
                 compile_time = time.perf_counter() - tc
             losses.append(aux["loss"])
+            if "unique_overflow" in aux:
+                overflows.append(jnp.asarray(aux["unique_overflow"],
+                                             jnp.int32))
             n_examples += int(jnp.sum(batch.mask)) if batch.mask is not None \
                 else batch.batch_size
         rec = {"epoch": epoch,
                "train_loss": float(jnp.mean(jnp.stack(losses)))}
+        if overflows:
+            # steps whose distinct-id count exceeded the unique budget:
+            # those steps silently aliased excess ids onto the last budget
+            # slot (dropped/merged updates) — surface it (VERDICT r1 #9).
+            n_over = int(jnp.sum(jnp.stack(overflows)))
+            rec["unique_overflow_steps"] = n_over
+            if n_over:
+                log.warning(
+                    "epoch %d: %d step(s) overflowed the unique-id budget "
+                    "(updates aliased); raise SGDConfig.unique_budget",
+                    epoch, n_over)
         if eval_ds is not None and (epoch % eval_every == 0
                                     or epoch == sgd_cfg.epochs - 1):
             rec.update({f"eval_{k}": v for k, v in evaluate(
@@ -176,6 +204,185 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     return TrainResult(
         params=sgd_solver.trim_params(get_params(state), cfg.num_features),
         history=history, examples_per_sec=eps)
+
+
+def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
+                       train: SparseDataset,
+                       eval_ds, eval_every, key, hooks,
+                       checkpoint_dir, checkpoint_every, resume,
+                       mesh) -> TrainResult:
+    """Mesh-sharded SGD epoch loop (see train_sgd's ``mesh`` doc).
+
+    Every process runs this loop SPMD; batches are drawn with the identical
+    (seed, epoch) order on all hosts, each host lifts its
+    process_batch_slice into the globally sharded batch
+    (parallel.multihost.global_batch), and eval scores are
+    process_allgather-ed so metrics are identical everywhere.
+    """
+    from sparkfm_tpu.config import MeshConfig
+    from sparkfm_tpu.ops import embedding as _E
+    from sparkfm_tpu.parallel import mesh as _M
+    from sparkfm_tpu.parallel import multihost as _MH
+    from sparkfm_tpu.parallel import sharded_sgd as _S
+
+    if isinstance(mesh, MeshConfig):
+        mesh = _M.mesh_from_config(mesh)
+    d_shards = mesh.shape[_M.DATA_AXIS]
+    if sgd_cfg.batch_size % d_shards:
+        raise ValueError(f"batch_size={sgd_cfg.batch_size} not divisible by "
+                         f"data axis size {d_shards}")
+    ffm = cfg.num_fields > 0
+
+    state, pcfg = _S.init_sharded_state(cfg, mesh, key)
+    step_fn = _S.make_sharded_train_step(pcfg, sgd_cfg, mesh)
+    score_fn = _S.make_sharded_score_fn(pcfg, mesh)
+    unique = (sgd_cfg.optimizer in ("adagrad", "sgd")
+              and sgd_cfg.momentum == 0)
+
+    # Host dedup plans: per data shard, stacked (ops.embedding.stack_plans).
+    plan_budget = plan_fill = None
+    if sgd_cfg.host_plan and unique:
+        n_loc = (sgd_cfg.batch_size // d_shards) * train.max_nnz
+        plan_budget = sgd_cfg.unique_budget or _E.auto_budget(n_loc)
+        plan_fill = pcfg.num_features - 1
+
+    history: List[Dict[str, float]] = []
+    start_epoch = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        from sparkfm_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(checkpoint_dir)
+        if resume and ckpt.latest_step() is not None:
+            state, extra = ckpt.restore(template=state)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            history = list(extra.get("history", []))
+            log.info("resumed from %s at epoch %d", checkpoint_dir,
+                     start_epoch)
+
+    def lift(batch: SparseBatch) -> SparseBatch:
+        # Per-host input: every host draws the same global batch order (same
+        # seed), keeps only its contiguous process slice, and lifts it into
+        # the globally sharded batch (make_array_from_process_local_data
+        # assembles the rest). Single-process: the slice is the whole batch.
+        local_shards = d_shards
+        if jax.process_count() > 1:
+            sl = _MH.process_batch_slice(batch.batch_size)
+            batch = dataclasses.replace(
+                batch, ids=batch.ids[sl], vals=batch.vals[sl],
+                y=batch.y[sl],
+                mask=None if batch.mask is None else batch.mask[sl],
+                field_ids=(None if batch.field_ids is None
+                           else batch.field_ids[sl]))
+            local_shards = d_shards // jax.process_count()
+        plan = None
+        if plan_budget is not None:
+            plan = _E.stack_plans(np.asarray(batch.ids), local_shards,
+                                  budget=plan_budget, fill=plan_fill)
+        return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan)
+
+    n_examples = 0
+    t0 = time.perf_counter()
+    compile_time = 0.0
+    from sparkfm_tpu.data.batching import prefetch
+    for epoch in range(start_epoch, sgd_cfg.epochs):
+        losses, overflows = [], []
+        it = batch_iterator(train, sgd_cfg.batch_size,
+                            shuffle=sgd_cfg.shuffle_each_epoch,
+                            seed=cfg.seed, epoch=epoch,
+                            drop_remainder=False)
+        for i, batch in enumerate(prefetch(map(lift, it))):
+            if epoch == 0 and i == 0:
+                tc = time.perf_counter()
+            state, aux = step_fn(state, batch)
+            if epoch == 0 and i == 0:
+                jax.block_until_ready(aux["loss"])
+                compile_time = time.perf_counter() - tc
+            losses.append(aux["loss"])
+            if "unique_overflow" in aux:
+                overflows.append(jnp.asarray(aux["unique_overflow"],
+                                             jnp.int32))
+            n_examples += int(np.sum(np.asarray(batch.mask))) \
+                if batch.mask is not None else batch.batch_size
+        rec = {"epoch": epoch,
+               "train_loss": float(jnp.mean(jnp.stack(losses)))}
+        if overflows:
+            n_over = int(jnp.sum(jnp.stack(overflows)))
+            rec["unique_overflow_steps"] = n_over
+            if n_over:
+                log.warning(
+                    "epoch %d: %d step(s) overflowed the per-shard "
+                    "unique-id budget; raise SGDConfig.unique_budget",
+                    epoch, n_over)
+        if eval_ds is not None and (epoch % eval_every == 0
+                                    or epoch == sgd_cfg.epochs - 1):
+            rec.update({f"eval_{k}": v for k, v in evaluate_sharded(
+                state.params, pcfg, eval_ds, mesh, score_fn,
+                sgd_cfg.batch_size).items()})
+        history.append(rec)
+        log.info("epoch %d: %s", epoch,
+                 " ".join(f"{k}={v:.5f}" for k, v in rec.items()
+                          if k != "epoch"))
+        if hooks:
+            for h in hooks:
+                h(epoch, state, rec)
+        if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
+                                 or epoch == sgd_cfg.epochs - 1):
+            ckpt.save(epoch, state,
+                      extra={"epoch": epoch, "history": history})
+    if ckpt is not None:
+        ckpt.close()
+    elapsed = time.perf_counter() - t0 - compile_time
+    eps = n_examples / max(elapsed, 1e-9)
+
+    # Return fully-replicated host params trimmed to the true feature count
+    # (drop the fill/pad rows), so the returned model predicts anywhere.
+    params = jax.tree_util.tree_map(
+        lambda x: np.asarray(_MH.collect(x)), state.params)
+    params = sgd_solver.trim_params(
+        FMParams(w0=jnp.asarray(params.w0),
+                 w=jnp.asarray(params.w[:cfg.num_features]),
+                 v=jnp.asarray(params.v[:cfg.num_features])),
+        cfg.num_features)
+    return TrainResult(params=params, history=history,
+                       examples_per_sec=eps)
+
+
+def evaluate_sharded(params, pcfg: FMConfig, ds: SparseDataset, mesh,
+                     score_fn, batch_size: int = 8192) -> Dict[str, float]:
+    """Mesh-sharded evaluate: scores computed with the sharded score fn,
+    collected to every host (multi-process safe), metrics on host."""
+    from sparkfm_tpu.parallel import multihost as _MH
+
+    all_scores: List[np.ndarray] = []
+    for b in batch_iterator(ds, batch_size, shuffle=False):
+        b_loc = b
+        if jax.process_count() > 1:
+            sl = _MH.process_batch_slice(b.batch_size)
+            b_loc = dataclasses.replace(
+                b, ids=b.ids[sl], vals=b.vals[sl], y=b.y[sl],
+                mask=None if b.mask is None else b.mask[sl],
+                field_ids=(None if b.field_ids is None
+                           else b.field_ids[sl]))
+        gb = _MH.global_batch(mesh, b_loc, has_fields=pcfg.num_fields > 0)
+        s = score_fn(params, gb.ids, gb.vals, gb.field_ids)
+        nvalid = int(np.sum(np.asarray(b.mask)))
+        all_scores.append(np.asarray(_MH.collect(s))[:nvalid])
+    scores = np.concatenate(all_scores)
+    y = ds.y[:len(scores)]
+    out: Dict[str, float] = {}
+    if pcfg.task == Task.REGRESSION:
+        out["rmse"] = float(np.sqrt(np.mean(np.square(scores - y))))
+        out["mae"] = float(np.mean(np.abs(scores - y)))
+    else:
+        prob = 1.0 / (1.0 + np.exp(-scores))
+        y01 = (y > 0).astype(np.float64)
+        eps_ = 1e-7
+        p = np.clip(prob, eps_, 1 - eps_)
+        out["logloss"] = float(-np.mean(y01 * np.log(p)
+                                        + (1 - y01) * np.log1p(-p)))
+        out["accuracy"] = float(np.mean((prob >= 0.5) == (y01 > 0.5)))
+        out["auc"] = float(M.auc(jnp.asarray(scores), jnp.asarray(y)))
+    return out
 
 
 def train_sgd_relational(cfg: FMConfig, sgd_cfg: SGDConfig, train,
