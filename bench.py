@@ -66,12 +66,15 @@ def main():
                         accumulate=os.environ.get("BENCH_ACC", "auto"))
 
     resolved = sgd_solver.resolve_update_path(cfg, sgd_cfg)
-    if resolved in ("fused", "sorted"):
+    if resolved in ("fused", "sorted", "hybrid"):
         from sparkfm_tpu.solvers import sgd_fused
         state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
         if resolved == "sorted":
             from sparkfm_tpu.solvers import sgd_sorted
             step_fn = sgd_sorted.make_sorted_train_step(cfg, sgd_cfg)
+        elif resolved == "hybrid":
+            from sparkfm_tpu.solvers import sgd_hybrid
+            step_fn = sgd_hybrid.make_hybrid_train_step(cfg, sgd_cfg)
         else:
             step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
         final_scalar = lambda s: s.w0
@@ -97,7 +100,7 @@ def main():
     rng = np.random.default_rng(0)
     n_batches = 8
     host_plan = os.environ.get("BENCH_HOSTPLAN", "1") == "1" and resolved in (
-        "dedup", "fused")
+        "dedup", "fused", "hybrid")
 
     def make_batch():
         if dist == "uniform":
@@ -107,17 +110,19 @@ def main():
             ids = ((raw * 2654435761) % buckets).astype(np.int32)
         y = rng.integers(0, 2, (batch,)).astype(np.float32)
         plan = None
+        vals = np.ones((batch, nnz), np.float32)
         if host_plan:
             from sparkfm_tpu.ops import embedding as E
-            hp = E.host_dedup(ids, budget, fill=buckets)
+            hp = E.host_dedup(ids, budget, fill=buckets, vals=vals)
             plan = E.DedupBatch(
                 uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
                 count=jnp.asarray(hp.count),
                 overflow=jnp.asarray(hp.overflow),
-                order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg))
+                order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg),
+                svals=jnp.asarray(hp.svals), sex=jnp.asarray(hp.sex))
         return SparseBatch(
             ids=jnp.asarray(ids),
-            vals=jnp.ones((batch, nnz), jnp.float32),
+            vals=jnp.asarray(vals),
             y=jnp.asarray(y),
             mask=jnp.ones((batch,), bool),
             plan=plan)

@@ -102,6 +102,100 @@ class FMModel:
         return cls(params=params, cfg=cfg)
 
 
+@dataclasses.dataclass
+class DeepFMModel:
+    """A fitted DeepFM (models/deepfm.py): FM tables + MLP tower.
+
+    Same metric surface as :class:`FMModel`; predictions run both heads.
+    """
+
+    params: object                      # models.deepfm.DeepFMParams
+    cfg: object                         # models.deepfm.DeepFMConfig
+    history: list = dataclasses.field(default_factory=list)
+    examples_per_sec: float = 0.0
+
+    def predict(self, ids, vals, field_ids=None) -> np.ndarray:
+        from sparkfm_tpu.models import deepfm as _d
+        return np.asarray(_d.predict(self.params, self.cfg,
+                                     jnp.asarray(ids), jnp.asarray(vals)))
+
+    def predict_dataset(self, ds: SparseDataset,
+                        batch_size: int = 8192) -> np.ndarray:
+        from sparkfm_tpu.models import deepfm as _d
+        outs = []
+        for b in batch_iterator(ds, batch_size, shuffle=False):
+            p = _d.predict(self.params, self.cfg, b.ids, b.vals)
+            nvalid = int(np.sum(np.asarray(b.mask)))
+            outs.append(np.asarray(p)[:nvalid])
+        return np.concatenate(outs) if outs else np.zeros((0,))
+
+    def evaluate(self, ds: SparseDataset,
+                 batch_size: int = 8192) -> Dict[str, float]:
+        from sparkfm_tpu.ops import metrics as MM
+        p = self.predict_dataset(ds, batch_size)
+        y = ds.y[:len(p)]
+        if self.cfg.fm.task == Task.REGRESSION:
+            return {"rmse": float(np.sqrt(np.mean(np.square(p - y)))),
+                    "mae": float(np.mean(np.abs(p - y)))}
+        eps = 1e-7
+        pc = np.clip(p, eps, 1 - eps)
+        y01 = (y > 0).astype(np.float64)
+        import math
+        return {
+            "logloss": float(-np.mean(y01 * np.log(pc)
+                                      + (1 - y01) * np.log1p(-pc))),
+            "accuracy": float(np.mean((p >= 0.5) == (y01 > 0.5))),
+            # AUC is rank-based: probabilities and raw scores give the
+            # same ordering, so feeding probabilities is exact.
+            "auc": float(MM.auc(jnp.asarray(p.astype(np.float32)),
+                                jnp.asarray(y))),
+        }
+
+    def compute_rmse(self, ds: SparseDataset) -> float:
+        p = self.predict_dataset(ds)
+        return float(np.sqrt(np.mean(np.square(p - ds.y[:len(p)]))))
+
+    def compute_mae(self, ds: SparseDataset) -> float:
+        p = self.predict_dataset(ds)
+        return float(np.mean(np.abs(p - ds.y[:len(p)])))
+
+    def compute_accuracy(self, ds: SparseDataset) -> float:
+        p = self.predict_dataset(ds)
+        thr = 0.5 if self.cfg.fm.task == Task.CLASSIFICATION else 0.0
+        return float(np.mean((p >= thr) == (ds.y[:len(p)] > 0)))
+
+    def save(self, directory: str) -> None:
+        from sparkfm_tpu.utils.checkpoint import Checkpointer
+        with Checkpointer(directory, max_to_keep=1) as ck:
+            ck.save(0, {"fm": self.params.fm,
+                        "mlp_w": list(self.params.mlp_w),
+                        "mlp_b": list(self.params.mlp_b)},
+                    extra={"cfg": _cfg_to_json(self.cfg.fm),
+                           "hidden": list(self.cfg.hidden),
+                           "model": "deepfm"})
+
+    @classmethod
+    def load(cls, directory: str) -> "DeepFMModel":
+        from sparkfm_tpu.models.deepfm import DeepFMConfig, DeepFMParams
+        from sparkfm_tpu.utils.checkpoint import Checkpointer
+        with Checkpointer(directory, max_to_keep=1) as ck:
+            raw, extra = ck.restore()
+        cfg = DeepFMConfig(fm=_cfg_from_json(extra["cfg"]),
+                           hidden=tuple(extra["hidden"]))
+        fm_raw = raw["fm"]
+        if isinstance(fm_raw, dict):
+            fm = FMParams(w0=jnp.asarray(fm_raw["w0"]),
+                          w=jnp.asarray(fm_raw["w"]),
+                          v=jnp.asarray(fm_raw["v"]))
+        else:
+            fm = fm_raw
+        params = DeepFMParams(
+            fm=fm,
+            mlp_w=tuple(jnp.asarray(x) for x in raw["mlp_w"]),
+            mlp_b=tuple(jnp.asarray(x) for x in raw["mlp_b"]))
+        return cls(params=params, cfg=cfg)
+
+
 def _parse_mesh(mesh):
     """Accept None | Mesh | MeshConfig | "DxM" string, return Mesh|None."""
     if mesh is None:
@@ -160,7 +254,9 @@ class FM:
                  optimizer: str = "adagrad", num_fields: int = 0,
                  block_size: int = 4096,
                  eval_every: int = 1,
-                 mesh=None):
+                 mesh=None,
+                 model: str = "fm",
+                 hidden: tuple = (128, 64)):
         self.num_factors = num_factors
         self.task = task
         self.max_iter = max_iter
@@ -180,6 +276,13 @@ class FM:
         # config.MeshConfig, or a "DATAxMODEL" string like "4x2". None =
         # single device. See training.trainer.train_sgd(mesh=...).
         self.mesh = _parse_mesh(mesh)
+        # model: "fm" (default) or "deepfm" (FM heads + MLP tower; BASELINE
+        # config 5). deepfm requires solver="sgd", num_fields set (slots
+        # per example), and ignores the mesh (single-device for now).
+        if model not in ("fm", "deepfm"):
+            raise ValueError(f"unknown model {model!r}")
+        self.model = model
+        self.hidden = tuple(hidden)
 
     def _cfg(self, train: SparseDataset) -> FMConfig:
         return FMConfig(
@@ -202,10 +305,31 @@ class FM:
         from sparkfm_tpu.data.relational import RelationalDataset
         if self.mesh is not None and (self.solver != "sgd"
                                       or isinstance(train,
-                                                    RelationalDataset)):
+                                                    RelationalDataset)
+                                      or self.model == "deepfm"):
             raise ValueError("mesh training currently supports solver='sgd' "
-                             "on a SparseDataset (materialize relational "
-                             "data first)")
+                             "plain FM on a SparseDataset (materialize "
+                             "relational data first)")
+        if self.model == "deepfm":
+            if self.solver != "sgd":
+                raise ValueError("model='deepfm' requires solver='sgd'")
+            if isinstance(train, RelationalDataset):
+                train = train.materialize()
+                if eval_ds is not None and hasattr(eval_ds, "materialize"):
+                    eval_ds = eval_ds.materialize()
+            from sparkfm_tpu.models import deepfm as _deepfm
+            base = self._cfg(train)
+            dcfg = _deepfm.DeepFMConfig(fm=base, hidden=self.hidden)
+            sgd_cfg = SGDConfig(learning_rate=self.learning_rate,
+                                optimizer=self.optimizer,
+                                batch_size=self.batch_size,
+                                epochs=self.max_iter)
+            res = _deepfm.train_deepfm(dcfg, sgd_cfg, train, eval_ds,
+                                       self.eval_every,
+                                       jax.random.PRNGKey(self.seed))
+            return DeepFMModel(params=res.params, cfg=dcfg,
+                               history=res.history,
+                               examples_per_sec=res.examples_per_sec)
         if isinstance(train, RelationalDataset):
             cfg = self._cfg(train)
             key = jax.random.PRNGKey(self.seed)

@@ -94,7 +94,10 @@ def cmd_train(args) -> int:
             learning_rate=args.lr, batch_size=args.batch_size,
             optimizer=args.optimizer, num_fields=args.fields,
             eval_every=args.eval_every,
-            mesh=getattr(args, "mesh", None))
+            mesh=getattr(args, "mesh", None),
+            model=getattr(args, "model", "fm"),
+            hidden=tuple(int(x) for x in
+                         getattr(args, "hidden", "128,64").split(",")))
     model = fm.fit(train, eval_ds=test, checkpoint_dir=args.checkpoint_dir)
 
     out = {"examples_per_sec": round(model.examples_per_sec, 1),
@@ -228,6 +231,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--fields", type=int, default=0,
                    help="FFM: number of fields (>0 enables field-aware "
                         "factors; --synth ctr emits per-field ids)")
+    t.add_argument("--model", default="fm", choices=["fm", "deepfm"],
+                   help="deepfm = FM heads + MLP tower (needs --fields; "
+                        "BASELINE config 5)")
+    t.add_argument("--hidden", default="128,64",
+                   help="deepfm tower widths, comma-separated")
     t.add_argument("--mesh", default=None,
                    help="train over a (data, model) device mesh, e.g. "
                         "'4x2' = 4-way data x 2-way table row sharding "

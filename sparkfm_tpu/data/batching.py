@@ -143,18 +143,21 @@ def batch_iterator(ds: SparseDataset, batch_size: int,
         mask = np.zeros((batch_size,), bool)
         mask[:b] = True
         ids_np = ds.ids[idx]
+        vals_np = ds.vals[idx] * mask[:, None]
         plan = None
         if dedup_budget is not None and dedup_fill is not None:
             from sparkfm_tpu.ops import embedding as _E
-            hp = _E.host_dedup(ids_np, dedup_budget, dedup_fill)
+            hp = _E.host_dedup(ids_np, dedup_budget, dedup_fill,
+                               vals=vals_np)
             plan = _E.DedupBatch(
                 uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
                 count=jnp.asarray(hp.count),
                 overflow=jnp.asarray(hp.overflow),
-                order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg))
+                order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg),
+                svals=jnp.asarray(hp.svals), sex=jnp.asarray(hp.sex))
         yield SparseBatch(
             ids=jnp.asarray(ids_np),
-            vals=jnp.asarray(ds.vals[idx] * mask[:, None]),
+            vals=jnp.asarray(vals_np),
             y=jnp.asarray(ds.y[idx] * mask),
             mask=jnp.asarray(mask),
             field_ids=(None if ds.field_ids is None

@@ -114,7 +114,28 @@ def predict(params: DeepFMParams, cfg: DeepFMConfig, ids, vals):
 
 
 def make_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
-    """Jitted step: sparse adagrad on tables + dense update on the tower."""
+    """Jitted step: sparse adagrad on tables + dense update on the tower.
+
+    Table access routes like plain FM (solvers/sgd.py::resolve_update_path
+    semantics): big tables (F >= 2^16, or update_path="dedup") go through
+    the dedup machinery — unique-compact the batch ids (host plan when the
+    batch carries one), ONE big-table gather/write per unique id, per-slot
+    math against the small (U, K) matrix — so DeepFM scales to hashed
+    Criteo-size tables exactly like the FM path (VERDICT r1 item 8).
+    """
+    fm_cfg = cfg.fm
+    path = sgd_cfg.update_path
+    if path == "auto":
+        path = "dedup" if fm_cfg.num_features >= (1 << 16) else "direct"
+    if path not in ("direct", "dedup"):
+        raise ValueError(f"deepfm supports update_path direct/dedup, "
+                         f"got {path!r}")
+    if path == "dedup":
+        return _make_dedup_train_step(cfg, sgd_cfg)
+    return _make_direct_train_step(cfg, sgd_cfg)
+
+
+def _make_direct_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
     from sparkfm_tpu.solvers import sgd as sgd_solver
 
     fm_cfg = cfg.fm
@@ -186,6 +207,127 @@ def make_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def _make_dedup_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
+    """Dedup table access for DeepFM: same plan/unique-row machinery as
+    solvers/sgd.py::_make_dedup_train_step, tower grads ride along densely.
+    Requires the state to be padded (pad_deepfm_state_for_dedup)."""
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.ops import pallas_rowio as PR
+    from sparkfm_tpu.solvers import sgd as sgd_solver
+
+    fm_cfg = cfg.fm
+    k = fm_cfg.num_factors
+
+    def train_step(state, batch: SparseBatch):
+        p: DeepFMParams = state["params"]
+        slots = state["slots"]
+        F = p.fm.w.shape[0] - 1            # padded: last row is the dummy
+        n_slots = batch.ids.shape[0] * batch.ids.shape[1]
+        budget = sgd_cfg.unique_budget or E.auto_budget(n_slots)
+        if batch.plan is not None:
+            plan = batch.plan
+            budget = plan.uids.shape[0]
+        else:
+            plan = E.dedup_ids(batch.ids, budget, fill=F)
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(
+            plan.count, budget)
+
+        w_u = jnp.where(valid_u, p.fm.w[plan.uids], 0.0)
+        v_u = jnp.where(valid_u[:, None], p.fm.v[plan.uids], 0.0)
+        vw_u = jnp.concatenate([v_u, w_u[:, None]], axis=1)
+        vw_rows = vw_u[plan.ranks]
+        v_rows = vw_rows[..., :k]
+        w_rows = vw_rows[..., k]
+
+        def loss_of(w0, w_rows, v_rows, mlp_w, mlp_b):
+            pp = DeepFMParams(fm=FMParams(w0=w0, w=p.fm.w, v=p.fm.v),
+                              mlp_w=mlp_w, mlp_b=mlp_b)
+            s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
+            loss_fn = L.loss_for_task(fm_cfg.task)
+            wts = None if batch.mask is None else batch.mask.astype(
+                jnp.float32)
+            data_loss = loss_fn(s, batch.y, wts)
+            active = (batch.vals != 0).astype(jnp.float32)
+            if batch.mask is not None:
+                active = active * batch.mask[:, None]
+            denom = jnp.maximum(
+                jnp.sum(batch.mask.astype(jnp.float32))
+                if batch.mask is not None
+                else float(batch.vals.shape[0]), 1.0)
+            reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
+                   + fm_cfg.reg_v * jnp.sum(
+                       jnp.square(v_rows) * active[..., None])) / denom
+            return data_loss + reg, data_loss
+
+        grads, data_loss = jax.grad(
+            loss_of, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            p.fm.w0, w_rows, v_rows, p.mlp_w, p.mlp_b)
+        g_w0, g_wrows, g_vrows, g_mw, g_mb = grads
+
+        # per-unique sums of grads and squared grads (small scatter)
+        packed = jnp.concatenate(
+            [g_vrows.reshape(-1, k), g_wrows.reshape(-1, 1),
+             jnp.square(g_vrows).reshape(-1, k),
+             jnp.square(g_wrows).reshape(-1, 1)], axis=-1)
+        acc = E.accumulate_to_unique(
+            packed.reshape(batch.ids.shape + (2 * k + 2,)), plan, budget)
+        g_v_u, g_w_u = acc[:, :k], acc[:, k]
+        sq_v_u, sq_w_u = acc[:, k + 1:2 * k + 1], acc[:, 2 * k + 1]
+
+        lr = sgd_cfg.learning_rate
+        sv_u = slots["v"][plan.uids] + sq_v_u
+        v_new = v_u - lr * g_v_u * jax.lax.rsqrt(sv_u + sgd_cfg.adagrad_eps)
+        sw_u = slots["w"][plan.uids] + sq_w_u
+        w_new = w_u - lr * g_w_u * jax.lax.rsqrt(sw_u + sgd_cfg.adagrad_eps)
+        kw = dict(force=sgd_cfg.pallas_scatter, unique_indices=True)
+        v = PR.scatter_set(p.fm.v, plan.uids, v_new, **kw)
+        sv = PR.scatter_set(slots["v"], plan.uids, sv_u, **kw)
+        w = PR.scatter_set(p.fm.w, plan.uids, w_new, **kw)
+        sw = PR.scatter_set(slots["w"], plan.uids, sw_u, **kw)
+
+        w0, sw0, _ = sgd_solver._dense_scalar_update(
+            "adagrad", lr, sgd_cfg, p.fm.w0, slots["w0"], None, g_w0, None)
+
+        def dense_adagrad(x, s, g):
+            s = s + jnp.square(g)
+            return x - lr * g * jax.lax.rsqrt(s + sgd_cfg.adagrad_eps), s
+
+        new_mw, new_smw, new_mb, new_smb = [], [], [], []
+        for x, s, g in zip(p.mlp_w, slots["mw"], g_mw):
+            x2, s2 = dense_adagrad(x, s, g)
+            new_mw.append(x2); new_smw.append(s2)
+        for x, s, g in zip(p.mlp_b, slots["mb"], g_mb):
+            x2, s2 = dense_adagrad(x, s, g)
+            new_mb.append(x2); new_smb.append(s2)
+
+        new_state = {
+            "params": DeepFMParams(fm=FMParams(w0=w0, w=w, v=v),
+                                   mlp_w=tuple(new_mw), mlp_b=tuple(new_mb)),
+            "slots": {"w0": sw0, "w": sw, "v": sv,
+                      "mw": tuple(new_smw), "mb": tuple(new_smb)},
+        }
+        return new_state, {"loss": data_loss,
+                           "unique_count": plan.count,
+                           "unique_overflow": plan.overflow}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def pad_deepfm_state_for_dedup(state: dict) -> dict:
+    """Append the dedup dummy row to the FM tables + their slots."""
+    pad = lambda x: jnp.concatenate(
+        [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+    p = state["params"]
+    s = state["slots"]
+    return {
+        "params": DeepFMParams(
+            fm=FMParams(w0=p.fm.w0, w=pad(p.fm.w), v=pad(p.fm.v)),
+            mlp_w=p.mlp_w, mlp_b=p.mlp_b),
+        "slots": {"w0": s["w0"], "w": pad(s["w"]), "v": pad(s["v"]),
+                  "mw": s["mw"], "mb": s["mb"]},
+    }
+
+
 def init_state(params: DeepFMParams) -> dict:
     z = lambda x: jnp.zeros_like(x)
     return {"params": params,
@@ -209,6 +351,17 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
 
     params = init_params(cfg, key)
     state = init_state(params)
+    path = sgd_cfg.update_path
+    if path == "auto":
+        path = "dedup" if cfg.fm.num_features >= (1 << 16) else "direct"
+    dedup_budget = dedup_fill = None
+    if path == "dedup":
+        state = pad_deepfm_state_for_dedup(state)
+        if sgd_cfg.host_plan:
+            from sparkfm_tpu.ops import embedding as _E
+            dedup_budget = sgd_cfg.unique_budget or _E.auto_budget(
+                sgd_cfg.batch_size * train.max_nnz)
+            dedup_fill = cfg.fm.num_features
     step_fn = make_train_step(cfg, sgd_cfg)
     score_jit = jax.jit(lambda p, i, v: scores(p, cfg, i, v))
 
@@ -230,11 +383,14 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     history = []
     n = 0
     t0 = time.perf_counter()
+    from sparkfm_tpu.data.batching import prefetch
     for epoch in range(sgd_cfg.epochs):
         losses = []
-        for batch in batch_iterator(train, sgd_cfg.batch_size,
-                                    shuffle=sgd_cfg.shuffle_each_epoch,
-                                    seed=cfg.fm.seed, epoch=epoch):
+        for batch in prefetch(batch_iterator(
+                train, sgd_cfg.batch_size,
+                shuffle=sgd_cfg.shuffle_each_epoch,
+                seed=cfg.fm.seed, epoch=epoch,
+                dedup_budget=dedup_budget, dedup_fill=dedup_fill)):
             state, aux = step_fn(state, batch)
             losses.append(aux["loss"])
             n += batch.batch_size
@@ -247,5 +403,12 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                                                  eval_ds).items()})
         history.append(rec)
     eps = n / max(time.perf_counter() - t0, 1e-9)
-    return TrainResult(params=state["params"], history=history,
+    params = state["params"]
+    if path == "dedup":   # drop the dummy row
+        f = cfg.fm.num_features
+        params = DeepFMParams(
+            fm=FMParams(w0=params.fm.w0, w=params.fm.w[:f],
+                        v=params.fm.v[:f]),
+            mlp_w=params.mlp_w, mlp_b=params.mlp_b)
+    return TrainResult(params=params, history=history,
                        examples_per_sec=eps)

@@ -64,6 +64,13 @@ class DedupBatch(NamedTuple):
     seg:    optional (N,) int32 — dense rank of each *sorted* slot's id,
             clipped to [0, U) (== ranks.reshape(-1)[order]); sorted
             non-decreasing, step <= 1 — the pallas_segsum contract.
+    svals:  optional (N,) f32 — slot values in id-sorted order
+            (= vals.flat[order]); host plans carry it so the hybrid
+            sorted-backward step (solvers/sgd_hybrid.py) never permutes on
+            device (a 1-lane device permute measures ~6 ms at Criteo
+            shapes, vs free on the host where `order` already exists).
+    sex:    optional (N,) int32 — each sorted slot's example index
+            (= order // L).
     """
 
     uids: jnp.ndarray
@@ -72,6 +79,8 @@ class DedupBatch(NamedTuple):
     overflow: jnp.ndarray
     order: Optional[jnp.ndarray] = None
     seg: Optional[jnp.ndarray] = None
+    svals: Optional[jnp.ndarray] = None
+    sex: Optional[jnp.ndarray] = None
 
 
 def dedup_ids(ids: jnp.ndarray, budget: int, fill: int) -> DedupBatch:
@@ -114,13 +123,17 @@ def dedup_ids(ids: jnp.ndarray, budget: int, fill: int) -> DedupBatch:
                       overflow=overflow, order=spos, seg=seg_c)
 
 
-def host_dedup(ids, budget: int, fill: int) -> DedupBatch:
+def host_dedup(ids, budget: int, fill: int, vals=None) -> DedupBatch:
     """Numpy twin of :func:`dedup_ids` for the host input pipeline.
 
     Computing the plan on the host (overlapped with device compute by the
     prefetching batch iterator) removes the in-step sorts entirely —
     measured ~4.3 ms/step on v5e Criteo-shape batches. Semantics are
     identical; tests assert element equality with dedup_ids.
+
+    With ``vals`` (same shape as ids), the plan additionally carries the
+    id-sorted values ``svals`` and sorted example indices ``sex`` for the
+    hybrid sorted-backward step.
     """
     import numpy as _np
     shape = ids.shape
@@ -140,10 +153,15 @@ def host_dedup(ids, budget: int, fill: int) -> DedupBatch:
     uids = _np.full((budget,), fill, _np.int32)
     m = min(count, budget)
     uids[:m] = sid[boundary][:m]
+    svals = sex = None
+    if vals is not None:
+        svals = _np.asarray(vals, _np.float32).reshape(-1)[order]
+        sex = (order // shape[-1]).astype(_np.int32)
     return DedupBatch(uids=uids, ranks=ranks.reshape(shape),
                       count=_np.int32(count),
                       overflow=_np.bool_(overflow),
-                      order=order.astype(_np.int32), seg=seg_c)
+                      order=order.astype(_np.int32), seg=seg_c,
+                      svals=svals, sex=sex)
 
 
 def stack_plans(ids, num_shards: int, budget: int, fill: int) -> DedupBatch:

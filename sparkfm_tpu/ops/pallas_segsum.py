@@ -122,6 +122,169 @@ def _segment_rowsum_pallas(g: jnp.ndarray, seg: jnp.ndarray,
     return out[:num_segments]
 
 
+def _segsum_sq_kernel(subtile: int, bf16x2: bool,
+                      seg_smem, g_ref, seg_vmem, out_ref,
+                      carry, prev_rl, buf, sem):
+    """Streaming [Σg | Σg²] over sorted dense ranks.
+
+    Same contract and carry discipline as :func:`_segsum_kernel`, two
+    upgrades for the train-step hot path:
+
+      * squares are formed IN-KERNEL: the input is the narrow (T, W)
+        gradient and the output is (U, 2W) [sums | sums of squares] — the
+        caller never materializes (N, 2W) in HBM (halves input traffic vs
+        packing squares outside).
+      * the one-hot reduction runs on SUB-TILES of `subtile` rows: a
+        (S, S) x (S, 2W) matmul per sub-tile instead of one (T, T) x
+        (T, 2W) — MXU MACs per slot scale with S, not T (T=1024 is forced
+        by the SMEM layout of the seg block, but nothing forces the
+        contraction to be that wide). Run sums crossing a sub-tile
+        boundary ride the same carry + "last writer writes the complete
+        rank" discipline, applied per sub-tile window.
+      * optional bf16x2: each operand column is split hi/lo
+        (hi = bf16(x), lo = bf16(x - hi)) and reduced with two bf16 MXU
+        passes accumulated in f32 — ~3x fewer MXU passes than native f32
+        at ~2^-17 relative error (the one-hot matrix is exact in bf16).
+    """
+    t = g_ref.shape[0]
+    w = g_ref.shape[1]
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        prev_rl[0] = -1
+
+    r0 = seg_smem[0]
+
+    g_all = g_ref[...]                                        # (T, W)
+    n_sub = t // subtile
+
+    for si in range(n_sub):
+        s0 = si * subtile
+        rs0 = seg_smem[s0]
+        rsl = seg_smem[s0 + subtile - 1]
+        local = seg_vmem[s0:s0 + subtile, :] - rs0            # (S, 1)
+        g = g_all[s0:s0 + subtile, :]                         # (S, W)
+        gg = jnp.concatenate([g, g * g], axis=1)              # (S, 2W)
+
+        iota_rank = jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, subtile), 1)
+        m2 = (local == iota_rank)
+        if bf16x2:
+            m2b = m2.astype(jnp.bfloat16)
+            hi = gg.astype(jnp.bfloat16)
+            lo = (gg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            partial = jax.lax.dot_general(
+                m2b, hi, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = partial + jax.lax.dot_general(
+                m2b, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            partial = jax.lax.dot_general(
+                m2.astype(jnp.float32), gg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)           # (S, 2W)
+
+        continuing = rs0 == prev_rl[0]
+        row0 = (jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, 1), 0) == 0)
+        carry_in = jnp.where(continuing, 1.0, 0.0) * carry[...]
+        partial = partial + jnp.where(row0, 1.0, 0.0) * carry_in
+
+        # exact f32 carry: complete sum of the run containing the last slot
+        last_mask = local == (rsl - rs0)
+        run_sum = jnp.sum(jnp.where(last_mask, gg, 0.0), axis=0,
+                          keepdims=True)                      # (1, 2W)
+        whole_one_run = jnp.logical_and(continuing, rsl == rs0)
+        carry[...] = run_sum + jnp.where(whole_one_run, 1.0, 0.0) * carry_in
+        prev_rl[0] = rsl
+
+        # stage into the block-local rank window [rs0 - r0, rs0 - r0 + S)
+        # (rs0 - r0 <= s0, so the window fits in the (T, 2W) buf);
+        # overlapping boundary ranks are rewritten complete by the later
+        # sub-tile (ranks are non-decreasing), same as across blocks.
+        buf[pl.ds(rs0 - r0, subtile), :] = partial
+
+    # one DMA for the whole block's rank window (<= t ranks); rows past
+    # this block's last rank hold garbage and are always rewritten by the
+    # next block's window (or masked by the wrapper past seg[-1]).
+    cp = pltpu.make_async_copy(
+        buf.at[pl.ds(0, t)], out_ref.at[pl.ds(r0, t)], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "tile", "subtile", "bf16x2",
+                              "interpret"))
+def _segment_rowsum_sq_pallas(g: jnp.ndarray, seg: jnp.ndarray,
+                              num_segments: int, tile: int = 1024,
+                              subtile: int = 256, bf16x2: bool = True,
+                              interpret: bool = False) -> jnp.ndarray:
+    n, w = g.shape
+    assert n % tile == 0 and tile % subtile == 0, (n, tile, subtile)
+    kern = functools.partial(_segsum_sq_kernel, subtile, bf16x2)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, 2 * w), jnp.float32),              # carry
+            pltpu.SMEM((1,), jnp.int32),                      # prev_rl
+            pltpu.VMEM((tile, 2 * w), jnp.float32),           # buf window
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_segments + tile, 2 * w),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg, g, seg[:, None])
+    return out[:num_segments]
+
+
+def segment_rowsum_sq(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
+                      tile: int = 1024, subtile: int = 256,
+                      bf16x2: bool = True,
+                      force: str = "auto") -> jnp.ndarray:
+    """[Σg | Σg²] per segment of sorted dense ranks: (N, W) -> (U, 2W).
+
+    The hybrid sorted-backward step's reduction (solvers/sgd_hybrid.py).
+    force: auto|pallas|xla|interpret; the XLA fallback (and non-TPU auto)
+    is an exact-f32 segment_sum of the packed [g | g²]. bf16x2 applies to
+    the Pallas path only (~1e-5 relative error on sums; set False for the
+    exact-f32 kernel).
+    """
+    from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
+    if force == "xla" or (force == "auto" and not use_pallas_rowio()):
+        packed = jnp.concatenate([g, jnp.square(g)], axis=1)
+        return jax.ops.segment_sum(packed, seg, num_segments=num_segments)
+
+    interpret = force == "interpret"
+    n, w = g.shape
+    pad_n = (-n) % tile
+    if pad_n:
+        g = jnp.concatenate(
+            [g, jnp.zeros((pad_n, w), g.dtype)], axis=0)
+        seg = jnp.concatenate(
+            [seg, jnp.broadcast_to(seg[-1:], (pad_n,))])
+    out = _segment_rowsum_sq_pallas(
+        g.astype(jnp.float32), seg.astype(jnp.int32), num_segments,
+        tile=tile, subtile=subtile, bf16x2=bf16x2, interpret=interpret)
+    rank = jax.lax.iota(jnp.int32, num_segments)
+    valid = jnp.logical_and(rank >= seg[0], rank <= seg[-1])
+    return jnp.where(valid[:, None], out, 0.0)
+
+
 def segment_rowsum(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
                    tile: int = 1024, force: str = "auto") -> jnp.ndarray:
     # tile=1024 keeps the seg SMEM block on XLA's s32 1-D {0:T(1024)}

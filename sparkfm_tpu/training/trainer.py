@@ -104,12 +104,15 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
                                   key, hooks, checkpoint_dir,
                                   checkpoint_every, resume, mesh)
     path = sgd_solver.resolve_update_path(cfg, sgd_cfg)
-    if path in ("fused", "sorted"):
+    if path in ("fused", "sorted", "hybrid"):
         from sparkfm_tpu.solvers import sgd_fused
         state = sgd_fused.init_fused_state(cfg, key)
         if path == "sorted":
             from sparkfm_tpu.solvers import sgd_sorted
             step_fn = sgd_sorted.make_sorted_train_step(cfg, sgd_cfg)
+        elif path == "hybrid":
+            from sparkfm_tpu.solvers import sgd_hybrid
+            step_fn = sgd_hybrid.make_hybrid_train_step(cfg, sgd_cfg)
         else:
             step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
         get_params = lambda s: sgd_fused.params_from_fused(s, cfg)
@@ -138,7 +141,10 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     # Host-side dedup plans (overlapped with device compute via prefetch)
     # for the table-access paths that consume them.
     dedup_budget = dedup_fill = None
-    if sgd_cfg.host_plan and path in ("dedup", "fused"):
+    if path == "hybrid" and not sgd_cfg.host_plan:
+        raise ValueError("update_path='hybrid' requires host_plan=True "
+                         "(the sorted backward consumes plan.svals/sex)")
+    if sgd_cfg.host_plan and path in ("dedup", "fused", "hybrid"):
         from sparkfm_tpu.ops import embedding as _E
         n_slots = sgd_cfg.batch_size * train.max_nnz
         dedup_budget = sgd_cfg.unique_budget or _E.auto_budget(n_slots)

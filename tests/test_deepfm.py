@@ -79,3 +79,53 @@ def test_deepfm_learns_ctr():
     aucs = [h["eval_auc"] for h in res.history if "eval_auc" in h]
     assert aucs[-1] > 0.8, aucs
     assert res.history[-1]["train_loss"] < res.history[0]["train_loss"]
+
+
+def test_deepfm_facade_and_dedup_path():
+    """FM(model='deepfm') end-to-end + the big-table dedup route
+    (VERDICT r1 item 8): same model trained via direct and dedup table
+    access reaches similar quality, and the facade model predicts/saves."""
+    import tempfile
+
+    from sparkfm_tpu.api import FM, DeepFMModel
+    from sparkfm_tpu.data.split import split_by_random
+
+    ds = synth.synth_ctr(num_examples=3000, num_fields=6, num_buckets=512,
+                         seed=31)
+    coll = split_by_random(ds, 0.8, 0.2, seed=31)
+    m = FM(num_factors=4, task=Task.CLASSIFICATION, max_iter=3,
+           solver="sgd", num_fields=6, reg_v=1e-5, learning_rate=0.1,
+           batch_size=256, model="deepfm", hidden=(16, 8)
+           ).fit(coll.training, eval_ds=coll.test)
+    auc = m.evaluate(coll.test)["auc"]
+    assert auc > 0.6, auc
+    p = m.predict(coll.test.ids[:8], coll.test.vals[:8])
+    assert p.shape == (8,) and np.all((p >= 0) & (p <= 1))
+
+    with tempfile.TemporaryDirectory() as d:
+        m.save(d)
+        m2 = DeepFMModel.load(d)
+        p2 = m2.predict(coll.test.ids[:8], coll.test.vals[:8])
+        np.testing.assert_allclose(p2, p, rtol=1e-6)
+
+
+def test_deepfm_dedup_matches_direct():
+    """Dedup table access == direct access for DeepFM (exact adagrad
+    semantics, same as the FM paths)."""
+    ds = synth.synth_ctr(num_examples=1024, num_fields=5, num_buckets=256,
+                         seed=32)
+    cfg = _cfg(F=256, fields=5, K=4)
+    res = {}
+    for path in ("direct", "dedup"):
+        sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                            optimizer="adagrad", epochs=2,
+                            update_path=path, unique_budget=1024)
+        r = deepfm.train_deepfm(cfg, sgd_cfg, ds,
+                                key=jax.random.PRNGKey(3))
+        res[path] = r
+    np.testing.assert_allclose(
+        np.asarray(res["dedup"].params.fm.v),
+        np.asarray(res["direct"].params.fm.v), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        [h["train_loss"] for h in res["dedup"].history],
+        [h["train_loss"] for h in res["direct"].history], rtol=1e-5)
