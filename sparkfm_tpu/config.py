@@ -61,9 +61,48 @@ class FMConfig:
     compute_dtype: str = "float32"  # dtype used inside the interaction kernel
     # Field-aware extension (FFM): number of fields. 0 = plain FM.
     num_fields: int = 0
+    # Attribute groups (the reference's Metadata capability,
+    # fm/bs/Metadata.scala:8-29; libFM's per-group lambdas): a per-feature
+    # group id tuple of length num_features. With groups set:
+    #   * SGD/ALS use per-group L2 strengths group_reg_w / group_reg_v
+    #     (tuples of length num_groups) in place of the scalar reg_w/reg_v;
+    #   * MCMC samples per-group (lambda, mu) hyperpriors per factor column
+    #     (solvers/mcmc.py) instead of one shared pair.
+    # Build from a fitted vectorizer with
+    # data.vectorizer.feature_groups_of (one group per source column).
+    feature_groups: Optional[tuple] = None
+    group_reg_w: Optional[tuple] = None
+    group_reg_v: Optional[tuple] = None
 
     def replace(self, **kw) -> "FMConfig":
         return dataclasses.replace(self, **kw)
+
+    @property
+    def num_groups(self) -> int:
+        if self.feature_groups is None:
+            return 1
+        return int(max(self.feature_groups)) + 1
+
+    def reg_vectors(self):
+        """(reg_w_vec, reg_v_vec): per-feature L2 strengths as numpy (F,)
+        f32 arrays — per-group values spread to features when groups are
+        configured, else the scalars broadcast."""
+        import numpy as _np
+        if self.feature_groups is None:
+            return (_np.full((self.num_features,), self.reg_w, _np.float32),
+                    _np.full((self.num_features,), self.reg_v, _np.float32))
+        groups = _np.asarray(self.feature_groups, _np.int64)
+        if groups.shape != (self.num_features,):
+            raise ValueError(
+                f"feature_groups must have length num_features="
+                f"{self.num_features}, got {groups.shape}")
+        gw = (_np.asarray(self.group_reg_w, _np.float32)
+              if self.group_reg_w is not None
+              else _np.full((self.num_groups,), self.reg_w, _np.float32))
+        gv = (_np.asarray(self.group_reg_v, _np.float32)
+              if self.group_reg_v is not None
+              else _np.full((self.num_groups,), self.reg_v, _np.float32))
+        return gw[groups], gv[groups]
 
 
 @dataclasses.dataclass(frozen=True)

@@ -388,3 +388,25 @@ class RelationVectorizer(Vectorizer):
             keys=np.asarray(all_keys, np.int32).reshape(
                 len(packed), len(rel_cols)),
             tables=tuple(tables), num_features=self.dimension)
+
+
+def feature_groups_of(vec: "Vectorizer") -> tuple:
+    """Per-feature attribute-group ids from a fitted vectorizer: one group
+    per source column (the reference's Metadata attribute->group mapping,
+    fm/bs/Metadata.scala:8-29, built automatically from the schema layout
+    instead of by hand). Feed to FMConfig(feature_groups=...) for
+    per-group regularization (ALS/SGD) and per-group hyperpriors (MCMC).
+    """
+    import numpy as _np
+    if not vec.offsets:
+        raise ValueError("vectorizer is not fitted (no layout)")
+    groups = _np.zeros((vec.dimension,), _np.int32)
+    # offsets map column -> block start; blocks are contiguous, so group
+    # boundaries are the sorted offsets.
+    cols = sorted(vec.offsets, key=lambda i: vec.offsets[i])
+    for g, col in enumerate(cols):
+        start = vec.offsets[col]
+        end = (vec.offsets[cols[g + 1]] if g + 1 < len(cols)
+               else vec.dimension)
+        groups[start:end] = g
+    return tuple(int(x) for x in groups)

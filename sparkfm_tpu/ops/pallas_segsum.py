@@ -148,6 +148,7 @@ def _segsum_sq_kernel(subtile: int, bf16x2: bool,
     """
     t = g_ref.shape[0]
     w = g_ref.shape[1]
+    wpad = carry.shape[1] - 2 * w     # zero lanes up to the 128 DMA tile
     pid = pl.program_id(0)
 
     @pl.when(pid == 0)
@@ -166,7 +167,9 @@ def _segsum_sq_kernel(subtile: int, bf16x2: bool,
         rsl = seg_smem[s0 + subtile - 1]
         local = seg_vmem[s0:s0 + subtile, :] - rs0            # (S, 1)
         g = g_all[s0:s0 + subtile, :]                         # (S, W)
-        gg = jnp.concatenate([g, g * g], axis=1)              # (S, 2W)
+        gg = jnp.concatenate(
+            [g, g * g,
+             jnp.zeros((subtile, wpad), jnp.float32)], axis=1)  # (S, 2W+pad)
 
         iota_rank = jax.lax.broadcasted_iota(
             jnp.int32, (subtile, subtile), 1)
@@ -225,6 +228,9 @@ def _segment_rowsum_sq_pallas(g: jnp.ndarray, seg: jnp.ndarray,
                               interpret: bool = False) -> jnp.ndarray:
     n, w = g.shape
     assert n % tile == 0 and tile % subtile == 0, (n, tile, subtile)
+    # lane-pad the staged payload to the 128 DMA tile (Mosaic requires
+    # memref slices 128-aligned on the lane dim)
+    w_out = ((2 * w + 127) // 128) * 128
     kern = functools.partial(_segsum_sq_kernel, subtile, bf16x2)
     out = pl.pallas_call(
         kern,
@@ -239,17 +245,17 @@ def _segment_rowsum_sq_pallas(g: jnp.ndarray, seg: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((1, 2 * w), jnp.float32),              # carry
+            pltpu.VMEM((1, w_out), jnp.float32),              # carry
             pltpu.SMEM((1,), jnp.int32),                      # prev_rl
-            pltpu.VMEM((tile, 2 * w), jnp.float32),           # buf window
+            pltpu.VMEM((tile, w_out), jnp.float32),           # buf window
             pltpu.SemaphoreType.DMA,
         ],
-        out_shape=jax.ShapeDtypeStruct((num_segments + tile, 2 * w),
+        out_shape=jax.ShapeDtypeStruct((num_segments + tile, w_out),
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(seg, g, seg[:, None])
-    return out[:num_segments]
+    return out[:num_segments, :2 * w]
 
 
 def segment_rowsum_sq(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,

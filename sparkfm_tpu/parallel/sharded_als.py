@@ -105,10 +105,14 @@ def make_sharded_sweep(cfg: FMConfig, num_blocks: int, mesh: Mesh):
         mask=P(M.DATA_AXIS))
     p_specs = FMParams(w0=P(), w=P(), v=P())
 
+    # per-feature L2 (per-group lambdas spread to features when configured)
+    reg_w_vec, reg_v_vec = cfg.reg_vectors()
+
     def sweep(params, ws):
         return als_solver._sweep_impl(
             params, ws, num_blocks, cfg.num_features,
-            cfg.reg0, cfg.reg_w, cfg.reg_v, cfg.use_bias, cfg.use_linear,
+            cfg.reg0, jnp.asarray(reg_w_vec), jnp.asarray(reg_v_vec),
+            cfg.use_bias, cfg.use_linear,
             axis_name=M.DATA_AXIS)
 
     sharded = shard_map(sweep, mesh=mesh, in_specs=(p_specs, ws_specs),

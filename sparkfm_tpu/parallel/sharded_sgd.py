@@ -141,14 +141,20 @@ def _loss_sums_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
     count = jnp.sum(wts)
 
     active = (batch.vals != 0).astype(jnp.float32) * wts[:, None]
-    reg_sum = (cfg.reg0 * jnp.square(w0) * count
-               + cfg.reg_w * jnp.sum(jnp.square(w_rows) * active))
-    if cfg.num_fields > 0:
-        reg_sum = reg_sum + cfg.reg_v * jnp.sum(
-            jnp.square(v_rows) * active[..., None, None])
+    if cfg.feature_groups is not None:
+        rw_vec, rv_vec = cfg.reg_vectors()
+        rw = jnp.asarray(rw_vec)[batch.ids]
+        rv = jnp.asarray(rv_vec)[batch.ids]
     else:
-        reg_sum = reg_sum + cfg.reg_v * jnp.sum(
-            jnp.square(v_rows) * active[..., None])
+        rw, rv = cfg.reg_w, cfg.reg_v
+    reg_sum = (cfg.reg0 * jnp.square(w0) * count
+               + jnp.sum(rw * jnp.square(w_rows) * active))
+    if cfg.num_fields > 0:
+        reg_sum = reg_sum + jnp.sum(
+            (rv * active)[..., None, None] * jnp.square(v_rows))
+    else:
+        reg_sum = reg_sum + jnp.sum(
+            (rv * active)[..., None] * jnp.square(v_rows))
     return data_sum, reg_sum, count, s
 
 

@@ -125,10 +125,15 @@ def _guarded_theta(theta, num, den, reg):
 
 
 def _sweep_impl(params: FMParams, ws: ALSWorkspace, num_blocks: int,
-                num_features: int, reg0: float, reg_w: float, reg_v: float,
+                num_features: int, reg0: float, reg_w, reg_v,
                 use_bias: bool = True, use_linear: bool = True,
                 axis_name: Optional[str] = None) -> FMParams:
     """One full coordinate sweep: w0, all w blocks, all (factor, block)s.
+
+    ``reg_w``/``reg_v`` may be scalars or per-feature (F,) vectors (the
+    attribute-group capability, reference Metadata.scala:8-29: per-group
+    lambdas spread to features by FMConfig.reg_vectors) — _guarded_theta
+    is elementwise either way.
 
     With ``axis_name`` set (sharded mode), examples are sharded over that
     mesh axis: every per-feature reduction is psum'd, parameters stay
@@ -221,12 +226,12 @@ def _sweep_impl(params: FMParams, ws: ALSWorkspace, num_blocks: int,
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
-                                   "reg0", "reg_w", "reg_v", "use_bias",
-                                   "use_linear"))
+                                   "reg0", "use_bias", "use_linear"))
 def als_sweep(params: FMParams, ws: ALSWorkspace, num_blocks: int,
-              num_features: int, reg0: float, reg_w: float, reg_v: float,
+              num_features: int, reg0: float, reg_w, reg_v,
               use_bias: bool = True, use_linear: bool = True) -> FMParams:
-    """Single-device jitted sweep (see _sweep_impl)."""
+    """Single-device jitted sweep (see _sweep_impl). reg_w/reg_v are
+    traced (scalar or per-feature vector)."""
     return _sweep_impl(params, ws, num_blocks, num_features, reg0, reg_w,
                        reg_v, use_bias, use_linear, axis_name=None)
 
@@ -252,13 +257,15 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
     if params is None:
         params = fm_model.init_params(cfg, key)
     ws, num_blocks = build_workspace(train, cfg, als_cfg)
+    # per-feature L2 (scalars broadcast; per-group when cfg.feature_groups)
+    reg_w_vec, reg_v_vec = (jnp.asarray(x) for x in cfg.reg_vectors())
     history = []
     import time
     n_examples = 0
     t0 = time.perf_counter()
     for epoch in range(als_cfg.epochs):
         params = als_sweep(params, ws, num_blocks, cfg.num_features,
-                           cfg.reg0, cfg.reg_w, cfg.reg_v,
+                           cfg.reg0, reg_w_vec, reg_v_vec,
                            cfg.use_bias, cfg.use_linear)
         n_examples += train.num_examples
         rec = {"epoch": epoch}

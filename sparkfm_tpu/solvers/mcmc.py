@@ -52,8 +52,12 @@ from sparkfm_tpu.solvers.als import ALSWorkspace, build_workspace
 class MCMCState:
     """Parameters + sampled hyperparameters.
 
-    alpha: () noise precision. lam_w/mu_w: () linear-group prior.
-    lam_v/mu_v: (K,) per-factor-column priors.
+    alpha: () noise precision. lam_w/mu_w: (G,) per-attribute-group linear
+    priors. lam_v/mu_v: (G, K) per-(group, factor-column) priors — libFM's
+    full grouped hyperprior structure (Rendle 2012 sec. 4.3; the
+    reference's Metadata groups, fm/bs/Metadata.scala:8-29). G == 1 when no
+    groups are configured, recovering the shared-prior behavior; the bias
+    w0 always belongs to group 0.
     """
 
     params: FMParams
@@ -64,13 +68,14 @@ class MCMCState:
     mu_v: jnp.ndarray
 
 
-def init_mcmc_state(params: FMParams) -> MCMCState:
+def init_mcmc_state(params: FMParams, num_groups: int = 1) -> MCMCState:
     k = params.v.shape[-1]
-    one = jnp.ones((), jnp.float32)
-    return MCMCState(params=params, alpha=one, lam_w=one,
-                     mu_w=jnp.zeros((), jnp.float32),
-                     lam_v=jnp.ones((k,), jnp.float32),
-                     mu_v=jnp.zeros((k,), jnp.float32))
+    g = num_groups
+    return MCMCState(params=params, alpha=jnp.ones((), jnp.float32),
+                     lam_w=jnp.ones((g,), jnp.float32),
+                     mu_w=jnp.zeros((g,), jnp.float32),
+                     lam_v=jnp.ones((g, k), jnp.float32),
+                     mu_v=jnp.zeros((g, k), jnp.float32))
 
 
 def _draw_theta(key, theta, num, den, alpha, lam, mu):
@@ -89,20 +94,31 @@ def _gamma(key, shape_param, rate):
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
+                                   "num_groups",
                                    "use_bias", "use_linear",
                                    "alpha_0", "beta_0", "alpha_l", "beta_l",
                                    "mu_0", "gamma_0"))
 def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
                num_blocks: int, num_features: int,
+               groups: jnp.ndarray = None, num_groups: int = 1,
                alpha_0: float = 1.0, beta_0: float = 1.0,
                alpha_l: float = 1.0, beta_l: float = 1.0,
                mu_0: float = 0.0, gamma_0: float = 1.0,
                use_bias: bool = True, use_linear: bool = True) -> MCMCState:
     """One full Gibbs sweep: hyperparameters, w0, w blocks, (factor, block)
-    draws, with exact residual/q patching between blocks."""
+    draws, with exact residual/q patching between blocks.
+
+    ``groups``: (F,) int32 attribute-group ids (None = all group 0);
+    hyperpriors (lambda, mu) are sampled per group (and per factor column
+    for V) — libFM's grouped structure, covering the reference's Metadata
+    capability. w0 rides group 0.
+    """
     params = state.params
     F = num_features
+    G = num_groups
     K = params.v.shape[-1]
+    if groups is None:
+        groups = jnp.zeros((F,), jnp.int32)
     mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
     n_valid = jnp.sum(mask)
 
@@ -117,32 +133,44 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
     alpha = _gamma(k_alpha, alpha_0 + 0.5 * n_valid,
                    beta_0 + 0.5 * jnp.sum(jnp.square(e)))
 
-    # --- linear-group prior (covers w0 and w)
-    p_w = jnp.float32(F + 1)
-    theta_w_sum = jnp.sum(params.w) + params.w0
-    mu_w_mean = (theta_w_sum + gamma_0 * mu_0) / (p_w + gamma_0)
-    ssq_w = (jnp.sum(jnp.square(params.w - state.mu_w))
-             + jnp.square(params.w0 - state.mu_w)
+    ones_f = jnp.ones((F,), jnp.float32)
+    cnt_g = jax.ops.segment_sum(ones_f, groups, num_segments=G)  # (G,)
+
+    # --- per-group linear priors (w0 joins group 0)
+    w0_onehot = jnp.zeros((G,), jnp.float32).at[0].add(1.0)
+    p_w = cnt_g + w0_onehot
+    sum_w_g = (jax.ops.segment_sum(params.w, groups, num_segments=G)
+               + w0_onehot * params.w0)
+    mu_w_mean = (sum_w_g + gamma_0 * mu_0) / (p_w + gamma_0)
+    ssq_w = (jax.ops.segment_sum(
+                 jnp.square(params.w - state.mu_w[groups]), groups,
+                 num_segments=G)
+             + w0_onehot * jnp.square(params.w0 - state.mu_w[0])
              + gamma_0 * jnp.square(state.mu_w - mu_0))
     lam_w = _gamma(k_lw, alpha_l + 0.5 * (p_w + 1), beta_l + 0.5 * ssq_w)
-    mu_w = (mu_w_mean + jax.random.normal(k_muw) *
-            jax.lax.rsqrt((p_w + gamma_0) * lam_w))
+    mu_w = (mu_w_mean + jax.random.normal(k_muw, (G,)) *
+            jax.lax.rsqrt((p_w + gamma_0) * lam_w))            # (G,)
 
-    # --- per-factor-column priors
-    p_v = jnp.float32(F)
-    sum_v = jnp.sum(params.v, axis=0)                     # (K,)
-    mu_v_mean = (sum_v + gamma_0 * mu_0) / (p_v + gamma_0)
-    ssq_v = (jnp.sum(jnp.square(params.v - state.mu_v[None, :]), axis=0)
-             + gamma_0 * jnp.square(state.mu_v - mu_0))
-    lam_v = _gamma(k_lv, alpha_l + 0.5 * (p_v + 1),
-                   beta_l + 0.5 * ssq_v)                  # (K,)
-    mu_v = (mu_v_mean + jax.random.normal(k_muv, (K,)) *
-            jax.lax.rsqrt((p_v + gamma_0) * lam_v))
+    # --- per-(group, factor-column) priors
+    sum_v_g = jax.ops.segment_sum(params.v, groups,
+                                  num_segments=G)              # (G, K)
+    mu_v_mean = (sum_v_g + gamma_0 * mu_0) / (cnt_g[:, None] + gamma_0)
+    ssq_v = (jax.ops.segment_sum(
+                 jnp.square(params.v - state.mu_v[groups]), groups,
+                 num_segments=G)
+             + gamma_0 * jnp.square(state.mu_v - mu_0))        # (G, K)
+    lam_v = _gamma(k_lv, alpha_l + 0.5 * (cnt_g[:, None] + 1),
+                   beta_l + 0.5 * ssq_v)                       # (G, K)
+    mu_v = (mu_v_mean + jax.random.normal(k_muv, (G, K)) *
+            jax.lax.rsqrt((cnt_g[:, None] + gamma_0) * lam_v))
 
-    # --- w0 (linear group, h == 1)
+    lam_w_f = lam_w[groups]                                    # (F,)
+    mu_w_f = mu_w[groups]
+
+    # --- w0 (group 0, h == 1)
     if use_bias:
         w0_new = _draw_theta(k_w0, params.w0, jnp.sum(e),
-                             n_valid, alpha, lam_w, mu_w)
+                             n_valid, alpha, lam_w[0], mu_w[0])
         e = e + (w0_new - params.w0) * mask
     else:
         w0_new = params.w0
@@ -153,7 +181,8 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
         kb = jax.random.fold_in(k_w, b)
         num = jax.ops.segment_sum(e[ws.col_row] * ws.col_val, ws.col_feat,
                                   num_segments=F, indices_are_sorted=True)
-        theta_new = _draw_theta(kb, w, num, ws.den_w, alpha, lam_w, mu_w)
+        theta_new = _draw_theta(kb, w, num, ws.den_w, alpha, lam_w_f,
+                                mu_w_f)
         delta = jnp.where(ws.block_of_feat == b, theta_new - w, 0.0)
         w = w + delta
         de = jax.ops.segment_sum(delta[ws.col_feat] * ws.col_val, ws.col_row,
@@ -181,7 +210,7 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
             den = jax.ops.segment_sum(h * h, ws.col_feat, num_segments=F,
                                       indices_are_sorted=True)
             theta_new = _draw_theta(kb, vf, num, den, alpha,
-                                    lam_v[f], mu_v[f])
+                                    lam_v[groups, f], mu_v[groups, f])
             in_block = ws.block_of_feat == b
             delta = jnp.where(in_block, theta_new - vf, 0.0)
             vf_new = vf + delta
@@ -236,7 +265,11 @@ def train_mcmc(cfg: FMConfig, mcmc_cfg: MCMCConfig, train: SparseDataset,
     ws, num_blocks = build_workspace(
         train, cfg, ALSConfig(block_size=mcmc_cfg.block_size,
                               feature_blocks=mcmc_cfg.feature_blocks))
-    state = init_mcmc_state(params)
+    num_groups = cfg.num_groups
+    groups = (jnp.asarray(np.asarray(cfg.feature_groups, np.int32))
+              if cfg.feature_groups is not None
+              else jnp.zeros((cfg.num_features,), jnp.int32))
+    state = init_mcmc_state(params, num_groups)
 
     score_fn = _trainer._eval_scores_fn(cfg)
     avg_scores = None
@@ -248,6 +281,7 @@ def train_mcmc(cfg: FMConfig, mcmc_cfg: MCMCConfig, train: SparseDataset,
         key, k_sweep = jax.random.split(key)
         state = mcmc_sweep(
             state, ws, k_sweep, num_blocks, cfg.num_features,
+            groups=groups, num_groups=num_groups,
             alpha_0=mcmc_cfg.alpha_0, beta_0=mcmc_cfg.beta_0,
             alpha_l=mcmc_cfg.alpha_lambda, beta_l=mcmc_cfg.beta_lambda,
             mu_0=mcmc_cfg.mu_0, gamma_0=mcmc_cfg.gamma_0,
@@ -255,7 +289,7 @@ def train_mcmc(cfg: FMConfig, mcmc_cfg: MCMCConfig, train: SparseDataset,
         n_examples += train.num_examples
         rec = {"epoch": epoch,
                "alpha": float(state.alpha),
-               "lam_w": float(state.lam_w)}
+               "lam_w": float(jnp.mean(state.lam_w))}
         if eval_ds is not None and epoch >= mcmc_cfg.burn_in:
             from sparkfm_tpu.data.batching import batch_iterator
             scores = []

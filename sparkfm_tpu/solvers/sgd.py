@@ -78,21 +78,30 @@ def _batch_loss_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
     data_loss = loss_fn(s, batch.y, weights)
 
     # Per-appearance L2 (libFM SGD semantics): each active slot regularizes
-    # its row; padded slots (val == 0) excluded.
+    # its row; padded slots (val == 0) excluded. With attribute groups
+    # (cfg.feature_groups, the reference's Metadata capability) the
+    # strengths are per-slot gathers of the per-group lambdas.
     active = (batch.vals != 0).astype(jnp.float32)
     if batch.mask is not None:
         active = active * batch.mask[:, None].astype(jnp.float32)
     denom = jnp.maximum(
         jnp.sum(batch.mask.astype(jnp.float32)) if batch.mask is not None
         else float(batch.vals.shape[0]), 1.0)
-    reg = (cfg.reg0 * jnp.square(w0)
-           + cfg.reg_w * jnp.sum(jnp.square(w_rows) * active) / denom)
-    if cfg.num_fields > 0:
-        reg = reg + cfg.reg_v * jnp.sum(
-            jnp.square(v_rows) * active[..., None, None]) / denom
+    if cfg.feature_groups is not None:
+        rw_vec, rv_vec = cfg.reg_vectors()
+        rw = jnp.asarray(rw_vec)[batch.ids]          # (B, L)
+        rv = jnp.asarray(rv_vec)[batch.ids]          # (B, L)
     else:
-        reg = reg + cfg.reg_v * jnp.sum(
-            jnp.square(v_rows) * active[..., None]) / denom
+        rw = cfg.reg_w
+        rv = cfg.reg_v
+    reg = (cfg.reg0 * jnp.square(w0)
+           + jnp.sum(rw * jnp.square(w_rows) * active) / denom)
+    if cfg.num_fields > 0:
+        reg = reg + jnp.sum(
+            (rv * active)[..., None, None] * jnp.square(v_rows)) / denom
+    else:
+        reg = reg + jnp.sum(
+            (rv * active)[..., None] * jnp.square(v_rows)) / denom
     return data_loss + reg, (s, data_loss)
 
 

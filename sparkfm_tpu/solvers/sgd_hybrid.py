@@ -64,6 +64,10 @@ def make_hybrid_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
         raise ValueError("hybrid path: momentum not supported")
     if jnp.dtype(cfg.compute_dtype) != jnp.float32:
         raise ValueError("hybrid path computes in float32")
+    if cfg.feature_groups is not None:
+        raise ValueError("hybrid path does not support attribute-group "
+                         "regularization yet; use update_path='fused' or "
+                         "'dedup' (their loss gathers per-group lambdas)")
     k = cfg.num_factors
     scatter_mode = sgd_cfg.pallas_scatter
     classification = cfg.task == Task.CLASSIFICATION
