@@ -313,6 +313,11 @@ class FM:
         if self.model == "deepfm":
             if self.solver != "sgd":
                 raise ValueError("model='deepfm' requires solver='sgd'")
+            if checkpoint_dir is not None:
+                raise ValueError(
+                    "model='deepfm' does not support checkpoint_dir yet; "
+                    "pass checkpoint_dir=None (silently dropping it would "
+                    "train unprotected — ADVICE r2)")
             if isinstance(train, RelationalDataset):
                 train = train.materialize()
                 if eval_ds is not None and hasattr(eval_ds, "materialize"):

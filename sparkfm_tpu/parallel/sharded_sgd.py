@@ -77,6 +77,25 @@ def init_sharded_state(cfg: FMConfig, mesh: Mesh,
     msize = mesh.shape[M.MODEL_AXIS]
     f_pad = M.pad_to_multiple(cfg.num_features + 1, msize)
     pcfg = cfg.replace(num_features=f_pad)
+    if cfg.feature_groups is not None:
+        # Pad feature_groups alongside num_features: padding rows (incl. the
+        # dedup dummy row) go to a dedicated extra group with ZERO reg, so
+        # cfg.reg_vectors() stays consistent under the padded config and the
+        # dummy slot never contributes a regularization pull.
+        g_pad = cfg.num_groups
+        groups = tuple(cfg.feature_groups) + (
+            (g_pad,) * (f_pad - cfg.num_features))
+
+        def _extend(per_group, scalar):
+            base = (tuple(float(x) for x in per_group)
+                    if per_group is not None
+                    else (float(scalar),) * g_pad)
+            return base + (0.0,)
+
+        pcfg = pcfg.replace(
+            feature_groups=groups,
+            group_reg_w=_extend(cfg.group_reg_w, cfg.reg_w),
+            group_reg_v=_extend(cfg.group_reg_v, cfg.reg_v))
     params = fm_model.init_params(pcfg, key)
     state = sgd_solver.init_state(params)
     pspecs = M.state_pspecs(ffm=cfg.num_fields > 0)

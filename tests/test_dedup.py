@@ -496,3 +496,52 @@ def test_accumulate_sorted_interpret_fused_shapes():
                                           force="interpret")
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fill_slot_writes_identical():
+    """Guard for the unique_indices=True scatter hint (ADVICE r2,
+    ops/pallas_rowio.scatter_set_rows_xla): dedup plans repeat the fill id
+    in unused budget slots, so uniqueness is violated on the dummy row.
+    That is benign ONLY while every duplicate fill slot writes an
+    identical row. Assert that invariant on the real dedup step by
+    intercepting scatter_set under disable_jit."""
+    from sparkfm_tpu.ops import pallas_rowio as PR
+
+    rng = np.random.default_rng(5)
+    F, K, B, L = 40, 4, 8, 5
+    cfg = FMConfig(num_features=F, num_factors=K, seed=0)
+    sgd_cfg = SGDConfig(learning_rate=0.1, optimizer="adagrad",
+                        update_path="dedup", unique_budget=64)
+    params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+    state = sgd_solver.pad_state_for_dedup(sgd_solver.init_state(params))
+    step = sgd_solver.make_train_step(cfg, sgd_cfg)
+    ids = jnp.asarray(rng.integers(0, F, (B, L)).astype(np.int32))
+    batch = SparseBatch(ids=ids, vals=jnp.ones((B, L), jnp.float32),
+                        y=jnp.asarray(rng.normal(size=(B,)),
+                                      jnp.float32),
+                        mask=jnp.ones((B,), bool))
+
+    recorded = []
+    orig = PR.scatter_set
+
+    def spy(table, sids, rows, **kw):
+        sids_np = np.asarray(sids)
+        fill_rows = np.asarray(rows)[sids_np == F]  # dummy row id is F
+        recorded.append(fill_rows)
+        return orig(table, sids, rows, **kw)
+
+    PR.scatter_set = spy
+    try:
+        with jax.disable_jit():
+            step(state, batch)
+    finally:
+        PR.scatter_set = orig
+
+    assert recorded, "dedup step never hit scatter_set"
+    saw_dupes = False
+    for fill_rows in recorded:
+        if fill_rows.shape[0] > 1:
+            saw_dupes = True
+            np.testing.assert_array_equal(
+                fill_rows, np.broadcast_to(fill_rows[:1], fill_rows.shape))
+    assert saw_dupes, "budget never exceeded uniques; invariant untested"

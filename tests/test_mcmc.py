@@ -56,7 +56,10 @@ def test_hyperparameters_sampled_and_finite(ml_data):
     res = mcmc.train_mcmc(cfg, mcfg, train)
     st = res.extras["mcmc_state"]
     assert float(st.alpha) > 0 and np.isfinite(float(st.alpha))
-    assert float(st.lam_w) > 0
+    # lam_w/mu_w are per-group (G,) arrays since the grouped-hyperprior
+    # change (solvers/mcmc.py::MCMCState); assert elementwise.
+    assert np.all(np.asarray(st.lam_w) > 0)
+    assert np.all(np.isfinite(np.asarray(st.lam_w)))
     assert np.all(np.asarray(st.lam_v) > 0)
     assert np.all(np.isfinite(np.asarray(st.params.v)))
     # alpha should move away from its init of 1.0 once fit to data

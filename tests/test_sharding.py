@@ -241,3 +241,37 @@ def test_unique_exchange_rejects_momentum():
     with pytest.raises(ValueError):
         sharded_sgd.make_sharded_train_step(cfg, sgd_cfg, mesh,
                                             exchange="unique")
+
+
+def test_sharded_groups_parity_and_padding():
+    """Per-group regularization on the mesh path (VERDICT r2 weak #3):
+    init_sharded_state must pad feature_groups alongside num_features so
+    cfg.reg_vectors() works under the padded config, padding/dummy rows
+    carry ZERO reg, and the sharded step matches single-device exactly."""
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=1200, seed=1)
+    F = ds.num_features
+    groups = tuple(int(g) for g in np.r_[np.zeros(30, int),
+                                         np.ones(F - 30, int)])
+    cfg = FMConfig(num_features=F, num_factors=4, seed=0,
+                   feature_groups=groups,
+                   group_reg_w=(0.01, 0.2), group_reg_v=(0.05, 0.3))
+    sgd_cfg = SGDConfig(batch_size=128, learning_rate=0.1,
+                        optimizer="adagrad")
+
+    mesh = M.make_mesh(2, 4)
+    _, pcfg = sharded_sgd.init_sharded_state(cfg, mesh,
+                                             key=jax.random.PRNGKey(0))
+    rw, rv = pcfg.reg_vectors()   # crashed before the r3 fix
+    assert rw.shape == (pcfg.num_features,)
+    # padding rows (incl. the dedup dummy) sit in a zero-reg extra group
+    np.testing.assert_array_equal(rw[F:], 0.0)
+    np.testing.assert_array_equal(rv[F:], 0.0)
+    np.testing.assert_allclose(rw[:30], 0.01)
+    np.testing.assert_allclose(rv[30:F], 0.3)
+
+    st_sh, st_ref, l_sh, l_ref = _run_pair((2, 4), cfg, sgd_cfg, ds)
+    np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_sh.params.v),
+                               np.asarray(st_ref.params.v),
+                               rtol=1e-4, atol=1e-6)
