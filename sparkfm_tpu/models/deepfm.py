@@ -344,6 +344,7 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     import time
 
     import numpy as np
+    from scipy.special import expit as _expit
 
     from sparkfm_tpu.data.batching import batch_iterator
     from sparkfm_tpu.ops import metrics as MM
@@ -375,7 +376,7 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
         y = ds.y[:len(s)]
         if cfg.fm.task == Task.REGRESSION:
             return {"rmse": float(np.sqrt(np.mean((s - y) ** 2)))}
-        prob = 1 / (1 + np.exp(-s))
+        prob = _expit(s)  # overflow-safe sigmoid
         y01 = (y > 0).astype(np.float64)
         return {"auc": float(MM.auc(jnp.asarray(s), jnp.asarray(y))),
                 "accuracy": float(np.mean((prob >= .5) == (y01 > .5)))}

@@ -36,19 +36,29 @@ def initialize(coordinator_address: Optional[str] = None,
     read COORDINATOR_ADDRESS etc.). No-op for single-process runs without
     coordinator info.
     """
-    if jax.process_count() > 1:
+    # Detect "already initialized" WITHOUT jax.process_count(): that call
+    # would itself initialize the XLA backend, after which
+    # jax.distributed.initialize refuses to run.
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized
     if coordinator_address is None and num_processes is None \
             and "COORDINATOR_ADDRESS" not in os.environ \
             and os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
         log.info("distributed: process %d/%d, %d local + %d global devices",
                  jax.process_index(), jax.process_count(),
                  jax.local_device_count(), jax.device_count())
-    except Exception as e:  # single-host fallback
+    except Exception as e:
+        if explicit:
+            # caller asked for a specific topology: failing to join it is
+            # an error, not a fallback (a silent 1-process "cluster" would
+            # train on a fraction of the data and report success)
+            raise
         log.info("distributed init skipped: %s", e)
 
 

@@ -18,6 +18,7 @@ from typing import Callable, Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.special import expit as _expit
 
 from sparkfm_tpu.config import FMConfig, SGDConfig, Task
 from sparkfm_tpu.data.batching import SparseBatch, SparseDataset, batch_iterator
@@ -56,7 +57,7 @@ def evaluate(params: FMParams, cfg: FMConfig, ds: SparseDataset,
         out["rmse"] = float(np.sqrt(np.mean(np.square(scores - y))))
         out["mae"] = float(np.mean(np.abs(scores - y)))
     else:
-        prob = 1.0 / (1.0 + np.exp(-scores))
+        prob = _expit(scores)  # overflow-safe sigmoid
         y01 = (y > 0).astype(np.float64)
         eps = 1e-7
         p = np.clip(prob, eps, 1 - eps)
@@ -307,7 +308,10 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
             if "unique_overflow" in aux:
                 overflows.append(jnp.asarray(aux["unique_overflow"],
                                              jnp.int32))
-            n_examples += int(np.sum(np.asarray(batch.mask))) \
+            # batch.mask is globally sharded: np.asarray would throw on
+            # non-addressable shards under multi-process — collect() does
+            # the process_allgather when needed.
+            n_examples += int(np.sum(_MH.collect(batch.mask))) \
                 if batch.mask is not None else batch.batch_size
         rec = {"epoch": epoch,
                "train_loss": float(jnp.mean(jnp.stack(losses)))}
@@ -380,7 +384,7 @@ def evaluate_sharded(params, pcfg: FMConfig, ds: SparseDataset, mesh,
         out["rmse"] = float(np.sqrt(np.mean(np.square(scores - y))))
         out["mae"] = float(np.mean(np.abs(scores - y)))
     else:
-        prob = 1.0 / (1.0 + np.exp(-scores))
+        prob = _expit(scores)  # overflow-safe sigmoid
         y01 = (y > 0).astype(np.float64)
         eps_ = 1e-7
         p = np.clip(prob, eps_, 1 - eps_)

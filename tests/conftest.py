@@ -24,3 +24,8 @@ import jax  # noqa: E402
 # Setting the config option directly always wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process launch etc.)")
