@@ -256,9 +256,12 @@ class FM:
                  eval_every: int = 1,
                  mesh=None,
                  model: str = "fm",
-                 hidden: tuple = (128, 64)):
+                 hidden: tuple = (128, 64),
+                 feature_groups=None,
+                 group_reg_w: Optional[tuple] = None,
+                 group_reg_v: Optional[tuple] = None):
         self.num_factors = num_factors
-        self.task = task
+        self.task = Task(task)   # accept 'regression'/'classification' strings
         self.max_iter = max_iter
         self.solver = solver
         self.num_features = num_features
@@ -283,14 +286,52 @@ class FM:
             raise ValueError(f"unknown model {model!r}")
         self.model = model
         self.hidden = tuple(hidden)
+        # Attribute-group regularization (reference Metadata.scala:8-29):
+        # feature_groups is a per-feature group-id tuple, OR a fitted
+        # Vectorizer — one group per source column, via
+        # data.vectorizer.feature_groups_of. group_reg_w/group_reg_v are
+        # per-group lambdas (len = num_groups); None broadcasts reg_w/reg_v.
+        self.feature_groups = feature_groups
+        self.group_reg_w = (None if group_reg_w is None
+                            else tuple(float(x) for x in group_reg_w))
+        self.group_reg_v = (None if group_reg_v is None
+                            else tuple(float(x) for x in group_reg_v))
+
+    def _resolved_groups(self) -> Optional[tuple]:
+        fg = self.feature_groups
+        if fg is None:
+            return None
+        if hasattr(fg, "offsets"):      # a fitted Vectorizer
+            from sparkfm_tpu.data.vectorizer import feature_groups_of
+            return feature_groups_of(fg)
+        if isinstance(fg, str):
+            raise ValueError(
+                "feature_groups='auto' needs the fitted Vectorizer itself: "
+                "FM(feature_groups=vec) (one group per source column)")
+        return tuple(int(g) for g in fg)
 
     def _cfg(self, train: SparseDataset) -> FMConfig:
+        groups = self._resolved_groups()
+        num_features = self.num_features or train.num_features
+        if groups is not None:
+            if len(groups) > num_features and self.num_features is None:
+                # groups carry the vectorizer's authoritative layout; a
+                # libFM file infers dim from max active index, which is
+                # short when trailing (e.g. OOV) features never fire
+                num_features = len(groups)
+            elif len(groups) != num_features:
+                raise ValueError(
+                    f"feature_groups length {len(groups)} != num_features "
+                    f"{num_features} (was the Vectorizer fitted on this "
+                    "data?)")
         return FMConfig(
-            num_features=self.num_features or train.num_features,
+            num_features=num_features,
             num_factors=self.num_factors, task=self.task,
             reg0=self.reg0, reg_w=self.reg_w, reg_v=self.reg_v,
             init_stdev=self.init_stdev, init_mean=self.init_mean,
-            seed=self.seed, num_fields=self.num_fields)
+            seed=self.seed, num_fields=self.num_fields,
+            feature_groups=groups,
+            group_reg_w=self.group_reg_w, group_reg_v=self.group_reg_v)
 
     def fit(self, train: SparseDataset,
             eval_ds: Optional[SparseDataset] = None,
@@ -305,11 +346,10 @@ class FM:
         from sparkfm_tpu.data.relational import RelationalDataset
         if self.mesh is not None and (self.solver != "sgd"
                                       or isinstance(train,
-                                                    RelationalDataset)
-                                      or self.model == "deepfm"):
+                                                    RelationalDataset)):
             raise ValueError("mesh training currently supports solver='sgd' "
-                             "plain FM on a SparseDataset (materialize "
-                             "relational data first)")
+                             "(FM or DeepFM) on a SparseDataset "
+                             "(materialize relational data first)")
         if self.model == "deepfm":
             if self.solver != "sgd":
                 raise ValueError("model='deepfm' requires solver='sgd'")
@@ -331,7 +371,8 @@ class FM:
                                 epochs=self.max_iter)
             res = _deepfm.train_deepfm(dcfg, sgd_cfg, train, eval_ds,
                                        self.eval_every,
-                                       jax.random.PRNGKey(self.seed))
+                                       jax.random.PRNGKey(self.seed),
+                                       mesh=self.mesh)
             return DeepFMModel(params=res.params, cfg=dcfg,
                                history=res.history,
                                examples_per_sec=res.examples_per_sec)

@@ -54,24 +54,66 @@ def parse_schema(spec: str):
     return cols
 
 
-def _load_dataset(args) -> "SparseDataset":
+def _load_dataset(args):
+    """Returns (SparseDataset, fitted Vectorizer | None)."""
     from sparkfm_tpu.data import libfm, synth
     if args.libfm:
-        return libfm.load_libfm(args.libfm, num_features=args.num_features)
+        return libfm.load_libfm(args.libfm,
+                                num_features=args.num_features), None
+    if getattr(args, "raw", None):
+        # one-command raw-text flow: vectorize inline (keeps the fitted
+        # Vectorizer so --groups auto can derive per-column groups)
+        from sparkfm_tpu.data.schema import read_delimited
+        from sparkfm_tpu.data.vectorizer import Vectorizer
+        if not args.schema:
+            raise SystemExit("--raw needs --schema")
+        vec = Vectorizer(parse_schema(args.schema))
+        rows = list(read_delimited(args.raw, args.separator))
+        return vec.fit_transform(rows), vec
+    if getattr(args, "movielens", None):
+        from sparkfm_tpu.data import datasets
+        return datasets.load_movielens(args.movielens)
+    if getattr(args, "criteo", None):
+        from sparkfm_tpu.data import datasets
+        buckets = args.num_features if args.num_features > 0 else 1 << 24
+        return datasets.load_criteo_tsv(
+            args.criteo, num_buckets=buckets,
+            with_fields=args.fields > 0), None
+    if getattr(args, "avazu", None):
+        from sparkfm_tpu.data import datasets
+        buckets = args.num_features if args.num_features > 0 else 1 << 24
+        return datasets.load_avazu_csv(args.avazu, num_buckets=buckets), None
     if args.synth == "movielens":
         return synth.synth_movielens(num_examples=args.synth_examples,
-                                     seed=args.seed)
+                                     seed=args.seed), None
     if args.synth == "ctr":
         return synth.synth_ctr(num_examples=args.synth_examples,
-                               seed=args.seed)
-    raise SystemExit("need --libfm PATH or --synth movielens|ctr")
+                               seed=args.seed), None
+    raise SystemExit("need --libfm/--raw/--movielens/--criteo/--avazu PATH "
+                     "or --synth movielens|ctr")
+
+
+def _resolve_groups(args, vec):
+    """--groups auto|FILE -> FM(feature_groups=...) value."""
+    spec = getattr(args, "groups", None)
+    if not spec:
+        return None
+    if spec == "auto":
+        if vec is None:
+            raise SystemExit(
+                "--groups auto needs a vectorized input (--raw + --schema "
+                "or --movielens); for --libfm pass a groups JSON file "
+                "saved by `vectorize --save-groups`")
+        return vec
+    with open(spec) as f:
+        return tuple(json.load(f))
 
 
 def cmd_train(args) -> int:
     from sparkfm_tpu.api import FM
     from sparkfm_tpu.data.split import split_by_random
 
-    ds = _load_dataset(args)
+    ds, vec = _load_dataset(args)
     if args.test_libfm:
         from sparkfm_tpu.data import libfm
         train, test = ds, libfm.load_libfm(args.test_libfm,
@@ -97,7 +139,12 @@ def cmd_train(args) -> int:
             mesh=getattr(args, "mesh", None),
             model=getattr(args, "model", "fm"),
             hidden=tuple(int(x) for x in
-                         getattr(args, "hidden", "128,64").split(",")))
+                         getattr(args, "hidden", "128,64").split(",")),
+            feature_groups=_resolve_groups(args, vec),
+            group_reg_w=(tuple(float(x) for x in args.group_reg_w.split(","))
+                         if getattr(args, "group_reg_w", None) else None),
+            group_reg_v=(tuple(float(x) for x in args.group_reg_v.split(","))
+                         if getattr(args, "group_reg_v", None) else None))
     model = fm.fit(train, eval_ds=test, checkpoint_dir=args.checkpoint_dir)
 
     out = {"examples_per_sec": round(model.examples_per_sec, 1),
@@ -138,6 +185,10 @@ def cmd_vectorize(args) -> int:
     libfm.save_libfm(ds, args.output)
     if args.save_vocab:
         vec.save_vocab(args.save_vocab)
+    if getattr(args, "save_groups", None):
+        from sparkfm_tpu.data.vectorizer import feature_groups_of
+        with open(args.save_groups, "w") as f:
+            json.dump(list(feature_groups_of(vec)), f)
     print(json.dumps({"examples": ds.num_examples,
                       "num_features": ds.num_features,
                       "max_nnz": ds.max_nnz,
@@ -209,6 +260,26 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser("train", help="train an FM on libFM or synthetic data")
     t.add_argument("--libfm", help="libFM-format training file")
     t.add_argument("--test-libfm", help="libFM-format test file")
+    t.add_argument("--raw", help="raw delimited text (vectorized inline "
+                                 "with --schema; enables --groups auto)")
+    t.add_argument("--schema", help="column schema for --raw (see module "
+                                    "doc DSL)")
+    t.add_argument("--separator", default="::",
+                   help="separator for --raw (default '::')")
+    t.add_argument("--movielens",
+                   help="MovieLens ratings file/dir (u.data, ratings.dat "
+                        "or ratings.csv; format auto-detected)")
+    t.add_argument("--criteo", help="Criteo Kaggle train.txt (hashed into "
+                                    "--num-features buckets, default 2^24)")
+    t.add_argument("--avazu", help="Avazu train.csv (hashed)")
+    t.add_argument("--groups", default=None,
+                   help="'auto' (one reg group per source column; needs "
+                        "--raw or --movielens) or a JSON file of "
+                        "per-feature group ids (vectorize --save-groups)")
+    t.add_argument("--group-reg-w", default=None,
+                   help="per-group linear-term lambdas, comma-separated")
+    t.add_argument("--group-reg-v", default=None,
+                   help="per-group factor-term lambdas, comma-separated")
     t.add_argument("--synth", choices=["movielens", "ctr"],
                    help="generate synthetic data instead of loading")
     t.add_argument("--synth-examples", type=int, default=100000)
@@ -262,6 +333,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="PATH;SCHEMA;JOINCOL[;SEP] (repeatable)")
     v.add_argument("--output", required=True)
     v.add_argument("--save-vocab")
+    v.add_argument("--save-groups",
+                   help="write per-feature group ids (one group per source "
+                        "column) as JSON, for train --groups FILE")
     v.set_defaults(fn=cmd_vectorize)
 
     e = sub.add_parser("eval", help="evaluate a saved model on libFM data")

@@ -135,3 +135,78 @@ class TestCLI:
         assert cols[5].num_buckets == 64
         with pytest.raises(ValueError):
             cli.parse_schema("target,wat")
+
+
+class TestGroupsFacadeCLI:
+    """feature_groups reachable from the facade and CLI (VERDICT r2 weak
+    #6): per-group lambdas from one command, Avazu/Metadata style."""
+
+    def test_facade_vectorizer_groups(self):
+        from sparkfm_tpu.data import datasets as D
+        ds, vec = D.load_movielens("tests/fixtures/ml_fixture")
+        m = sfm.FM(solver="sgd", num_factors=4, max_iter=2,
+                   learning_rate=0.05, seed=0,
+                   feature_groups=vec,          # fitted Vectorizer -> auto
+                   group_reg_w=(0.01, 0.1), group_reg_v=(0.02, 0.2))
+        cfg = m._cfg(ds)
+        assert cfg.num_groups == 2              # user col, item col
+        rw, rv = cfg.reg_vectors()
+        assert set(np.unique(rw)) == {np.float32(0.01), np.float32(0.1)}
+        model = m.fit(ds)
+        assert np.isfinite(np.asarray(model.params.v)).all()
+
+    def test_facade_groups_mesh_trains(self):
+        from sparkfm_tpu.data import datasets as D
+        ds, vec = D.load_movielens("tests/fixtures/ml_fixture")
+        m = sfm.FM(solver="sgd", num_factors=4, max_iter=2,
+                   learning_rate=0.05, seed=0, mesh="4x2",
+                   batch_size=256, feature_groups=vec,
+                   group_reg_v=(0.02, 0.2))
+        model = m.fit(ds)      # crashed pre-r3 (padded groups)
+        assert np.isfinite(np.asarray(model.params.v)).all()
+
+    def test_facade_groups_length_mismatch_raises(self, ratings):
+        m = sfm.FM(solver="sgd", max_iter=1,
+                   feature_groups=(0, 1))      # wrong length
+        with pytest.raises(ValueError, match="feature_groups length"):
+            m.fit(ratings)
+
+    def test_cli_raw_groups_auto(self, capsys, tmp_path):
+        raw = tmp_path / "ratings.dat"
+        rng = np.random.default_rng(3)
+        with open(raw, "w") as f:
+            for _ in range(1500):
+                u, m = rng.integers(30), rng.integers(40)
+                y = 3.0 + 0.4 * (u % 3) - 0.3 * (m % 2) + rng.normal(0, 0.1)
+                f.write(f"u{u}::m{m}::{y:.3f}\n")
+        res = TestCLI._run(self, capsys, [
+            "train", "--raw", str(raw), "--separator", "::",
+            "--schema", "identity,identity,target",
+            "--solver", "sgd", "--factors", "4", "--iters", "3",
+            "--lr", "0.1", "--batch-size", "256",
+            "--groups", "auto",
+            "--group-reg-w", "0.01,0.05", "--group-reg-v", "0.02,0.1",
+            "--split", "0.8,0.2"])
+        assert res["test_rmse"] < 1.0
+
+    def test_cli_vectorize_save_groups_then_train(self, capsys, tmp_path):
+        raw = tmp_path / "r.dat"
+        rng = np.random.default_rng(4)
+        with open(raw, "w") as f:
+            for _ in range(1200):
+                u, m = rng.integers(25), rng.integers(30)
+                f.write(f"u{u}::m{m}::{3.0 + 0.3 * (u % 2):.2f}\n")
+        out_libfm = str(tmp_path / "o.libfm")
+        groups_file = str(tmp_path / "groups.json")
+        TestCLI._run(self, capsys, [
+            "vectorize", "--input", str(raw), "--separator", "::",
+            "--schema", "identity,identity,target",
+            "--output", out_libfm, "--save-groups", groups_file])
+        # 25 users + 30 items + one OOV bucket per identity column
+        assert len(json.load(open(groups_file))) == 57
+        res = TestCLI._run(self, capsys, [
+            "train", "--libfm", out_libfm, "--solver", "sgd",
+            "--factors", "2", "--iters", "2", "--batch-size", "256",
+            "--groups", groups_file, "--group-reg-v", "0.01,0.05",
+            "--split", "0.8,0.2"])
+        assert "test_rmse" in res
