@@ -389,6 +389,19 @@ class FM:
                 return FMModel(params=res.params, cfg=cfg,
                                history=res.history,
                                examples_per_sec=res.examples_per_sec)
+            if self.solver == "als":
+                # BS-ALS: the reference's 'Method 2' (ALS.scala:77-136,
+                # unreachable there) — no materialization (solvers/als_bs)
+                from sparkfm_tpu.solvers import als_bs as _als_bs
+                # feature_blocks=None -> slot-aligned blocks derived from
+                # the BS structure (Jacobi == Gauss-Seidel; see
+                # solvers/als_bs._prep)
+                res = _als_bs.train_als_relational(
+                    cfg, ALSConfig(epochs=self.max_iter),
+                    train, eval_ds, self.eval_every, key)
+                return FMModel(params=res.params, cfg=cfg,
+                               history=res.history,
+                               examples_per_sec=res.examples_per_sec)
             train = train.materialize()
             if eval_ds is not None and hasattr(eval_ds, "materialize"):
                 eval_ds = eval_ds.materialize()
@@ -406,22 +419,23 @@ class FM:
                                      checkpoint_dir=checkpoint_dir,
                                      mesh=self.mesh)
         elif self.solver == "als":
-            from sparkfm_tpu.solvers.als import train_als
-            # Jacobi-within-block diverges if one block spans strongly
-            # coupled coordinates; keep >=16 blocks so small problems get
-            # near-Gauss-Seidel behavior while Criteo-scale dims still use
-            # full-width blocks.
-            bs = max(1, min(self.block_size, cfg.num_features // 16 + 1))
-            als_cfg = ALSConfig(epochs=self.max_iter, block_size=bs)
+            from sparkfm_tpu.solvers.als import slot_blocks, train_als
+            # Slot-aligned blocks: features sharing a CSR slot never
+            # co-occur, so within-block Jacobi is exact Gauss-Seidel —
+            # stable on coupled layouts where the old contiguous
+            # arange//block heuristic diverged (e.g. materialized
+            # relational data), and faster (max_nnz blocks per sweep).
+            als_cfg = ALSConfig(epochs=self.max_iter,
+                                feature_blocks=slot_blocks(train))
             res = train_als(cfg, als_cfg, train, eval_ds, self.eval_every,
                             key)
         elif self.solver == "mcmc":
             from sparkfm_tpu.config import MCMCConfig
             from sparkfm_tpu.solvers.mcmc import train_mcmc
-            bs = max(1, min(self.block_size, cfg.num_features // 16 + 1))
+            from sparkfm_tpu.solvers.als import slot_blocks
             mcmc_cfg = MCMCConfig(epochs=self.max_iter,
                                   burn_in=max(1, self.max_iter // 10),
-                                  block_size=bs)
+                                  feature_blocks=slot_blocks(train))
             res = train_mcmc(cfg, mcmc_cfg, train, eval_ds, key)
         else:
             raise ValueError(f"unknown solver {self.solver!r}")

@@ -84,8 +84,7 @@ def build_sharded_workspace(ds: SparseDataset, cfg: FMConfig,
     shard = lambda x, spec: jax.device_put(
         jnp.asarray(x), NamedSharding(mesh, spec))
     ws = ALSWorkspace(
-        ids=shard(ids, P(M.DATA_AXIS, None)),
-        vals=shard(vals, P(M.DATA_AXIS, None)),
+        ids=None, vals=None,               # sweep is CSC-only; no CSR copy
         y=shard(y, P(M.DATA_AXIS)),
         col_feat=shard(np.concatenate(cf_parts), P(M.DATA_AXIS)),
         col_row=shard(np.concatenate(cr_parts), P(M.DATA_AXIS)),

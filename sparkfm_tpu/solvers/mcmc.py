@@ -122,9 +122,29 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
     mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
     n_valid = jnp.sum(mask)
 
-    e = I.fm_scores(params.w0, params.w, params.v, ws.ids, ws.vals,
-                    use_bias=use_bias, use_linear=use_linear) - ws.y
-    e = e * mask
+    # residuals from the CSC view alone (the workspace carries no CSR
+    # copy — solvers/als.py::build_workspace, VERDICT r2 weak #8)
+    n_ex = ws.y.shape[0]
+
+    def _col_q(vf):
+        return jax.ops.segment_sum(vf[ws.col_feat] * ws.col_val,
+                                   ws.col_row, num_segments=n_ex)
+
+    score = jnp.zeros((n_ex,), jnp.float32)
+    if use_bias:
+        score = score + params.w0
+    if use_linear:
+        score = score + _col_q(params.w)
+
+    def _factor_score(f_, s):
+        vx = params.v[:, f_][ws.col_feat] * ws.col_val
+        qf = jax.ops.segment_sum(vx, ws.col_row, num_segments=n_ex)
+        sqf = jax.ops.segment_sum(jnp.square(vx), ws.col_row,
+                                  num_segments=n_ex)
+        return s + 0.5 * (jnp.square(qf) - sqf)
+
+    score = jax.lax.fori_loop(0, K, _factor_score, score)
+    e = (score - ws.y) * mask
 
     (k_alpha, k_lw, k_muw, k_lv, k_muv, k_w0, k_w,
      k_v) = jax.random.split(key, 8)
@@ -198,7 +218,7 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
     def factor_body(f, carry):
         v, e = carry
         vf = v[:, f]
-        q = jnp.sum(v[ws.ids, f] * ws.vals, axis=1)
+        q = _col_q(vf)
 
         def v_block(b, carry2):
             vf, q, e = carry2
