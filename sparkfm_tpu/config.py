@@ -128,12 +128,29 @@ class SGDConfig:
     #              is touched once per *unique* id and all per-slot math runs
     #              against a small (U, K) matrix (ops/embedding.py). Strictly
     #              faster on TPU for F >~ 2^16 (XLA big-table scatter is
-    #              ~200ns/row; small-table ops are ~10-20x cheaper).
-    #   "auto"   — dedup when num_features >= 2^16 else direct.
+    #              ~200ns/row; small-table ops are ~10-20x cheaper). The
+    #              only path offering adam/momentum.
+    #   "fused"  — dedup plus the fused record layout [v|slot_v|w|slot_w]
+    #              in one 128-lane row (solvers/sgd_fused.py): ONE sorted-
+    #              hint unique-row gather + ONE write-back per step.
+    #              adagrad / adagrad_row / plain sgd, FM only.
     #   "sorted" — slots re-sorted by feature id once per batch; per-unique
-    #              reductions become streaming segment sums (Pallas) and
-    #              table rows move via pipelined row DMAs — the fastest
-    #              big-table path on TPU (solvers/sgd_sorted.py).
+    #              reductions become streaming Pallas segment sums
+    #              (solvers/sgd_sorted.py). Kept as an alternative: in-step
+    #              the example-space crossings leave "fused" ahead.
+    #   "hybrid" — natural-order forward + ANALYTIC id-sorted backward
+    #              (solvers/sgd_hybrid.py): gradients are evaluated
+    #              directly in sorted slot order from the closed-form FM
+    #              gradient, so the per-step scatter-add/permute that
+    #              dominates "fused" disappears; reductions run in the
+    #              in-kernel-squaring Pallas segment sum. Restrictions:
+    #              requires host plans carrying order/seg/svals/sex
+    #              (batch_iterator(dedup_budget=...) emits them), plain FM
+    #              only, float32 only, adagrad/adagrad_row/sgd, no
+    #              momentum, no attribute-group regularization.
+    #   "auto"   — direct below 2^16 features; above: fused when the
+    #              model/optimizer fit its layout, else dedup
+    #              (solvers/sgd.py::resolve_update_path).
     update_path: str = "auto"
     # Static unique-id budget U for the dedup path; 0 = next power of two
     # >= batch nnz slots (no overflow possible), capped at 2^18.
