@@ -134,8 +134,24 @@ def host_dedup(ids, budget: int, fill: int, vals=None) -> DedupBatch:
     With ``vals`` (same shape as ids), the plan additionally carries the
     id-sorted values ``svals`` and sorted example indices ``sex`` for the
     hybrid sorted-backward step.
+
+    Routes to the native radix-sort builder (native/dedup_plan.cpp) when
+    available: numpy's argsort + fancy-index passes measure ~68 ms for a
+    16384x39 batch on a 2-core host — 3x the device step, throttling the
+    prefetch pipeline — vs ~6 ms native. SPARKFM_NO_NATIVE=1 forces this
+    numpy path (the semantics reference; parity pinned in
+    tests/test_native_io.py).
     """
     import numpy as _np
+    from sparkfm_tpu.data import native_io as _nio
+    nat = _nio.dedup_plan_native(_np.asarray(ids), budget, fill,
+                                 None if vals is None
+                                 else _np.asarray(vals))
+    if nat is not None:
+        uids, ranks, count, overflow, order, seg, svals, sex = nat
+        return DedupBatch(uids=uids, ranks=ranks, count=count,
+                          overflow=overflow, order=order, seg=seg,
+                          svals=svals, sex=sex)
     shape = ids.shape
     flat = _np.asarray(ids, _np.int32).reshape(-1)
     n = flat.shape[0]

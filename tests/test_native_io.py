@@ -108,3 +108,46 @@ def test_native_throughput(tmp_path):
     # Typical speedup is >10x, but a loaded CI box squeezes the
     # multithreaded native parser hardest — only require "not slower".
     assert t_native < t_py
+
+
+class TestNativeDedupPlan:
+    """native/dedup_plan.cpp must match ops.embedding.host_dedup's numpy
+    path element-for-element, including the STABLE sort order (ties keep
+    slot order — the hybrid step's svals/sex depend on it)."""
+
+    def _pair(self, ids, budget, fill, vals=None, monkeypatch=None):
+        from sparkfm_tpu.ops import embedding as E
+        nat = E.host_dedup(ids, budget, fill=fill, vals=vals)
+        monkeypatch.setenv("SPARKFM_NO_NATIVE", "1")
+        ref = E.host_dedup(ids, budget, fill=fill, vals=vals)
+        monkeypatch.delenv("SPARKFM_NO_NATIVE")
+        return nat, ref
+
+    def test_parity_criteo_shape(self, monkeypatch):
+        from sparkfm_tpu.data import native_io
+        if not native_io._load_dedup():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(0)
+        ids = ((rng.zipf(1.3, size=(512, 39)).astype(np.int64)
+                * 2654435761) % (1 << 22)).astype(np.int32)
+        vals = rng.normal(size=(512, 39)).astype(np.float32)
+        nat, ref = self._pair(ids, 1 << 12, 1 << 22, vals, monkeypatch)
+        for f in ("uids", "ranks", "count", "overflow", "order", "seg",
+                  "svals", "sex"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(nat, f)), np.asarray(getattr(ref, f)),
+                err_msg=f)
+
+    def test_parity_overflow_and_small_ids(self, monkeypatch):
+        from sparkfm_tpu.data import native_io
+        if not native_io._load_dedup():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(1)
+        # budget smaller than uniques -> overflow branch; 1-pass radix
+        ids = rng.integers(0, 300, (64, 5)).astype(np.int32)
+        nat, ref = self._pair(ids, 16, 300, None, monkeypatch)
+        assert bool(nat.overflow) and bool(ref.overflow)
+        for f in ("uids", "ranks", "count", "order", "seg"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(nat, f)), np.asarray(getattr(ref, f)),
+                err_msg=f)
