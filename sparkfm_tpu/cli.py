@@ -9,6 +9,7 @@ exposes the same flows as flags:
   vectorize       raw delimited text + schema [+ relations] -> libFM file
                   (the reference's dormant export demos, driver.scala:29-71)
   eval            saved model + libFM data -> metrics
+  predict         saved model + libFM data -> one score per line
   movielens-demo  the reference's canonical testALS flow end-to-end
                   (driver.scala:73-113) on generated MovieLens-shaped data
 
@@ -197,6 +198,29 @@ def cmd_vectorize(args) -> int:
     return 0
 
 
+def cmd_predict(args) -> int:
+    """Batch scoring: saved model + libFM file -> one prediction per line
+    (raw score for regression, P(y=1) for classification). The serving
+    analog of the reference's predict-only surface (FMModel.scala:34)."""
+    from sparkfm_tpu.api import FMModel
+    from sparkfm_tpu.data import libfm
+
+    model = FMModel.load(args.model)
+    ds = libfm.load_libfm(args.libfm,
+                          num_features=model.cfg.num_features)
+    preds = model.predict_dataset(ds, batch_size=args.batch_size)
+    out = args.output or "-"
+    if out == "-":
+        for p_ in preds:
+            print(f"{p_:.6g}")
+    else:
+        with open(out, "w") as f:
+            for p_ in preds:
+                f.write(f"{p_:.6g}\n")
+        print(json.dumps({"examples": int(len(preds)), "output": out}))
+    return 0
+
+
 def cmd_eval(args) -> int:
     from sparkfm_tpu.api import FMModel
     from sparkfm_tpu.data import libfm
@@ -342,6 +366,16 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--model", required=True)
     e.add_argument("--libfm", required=True)
     e.set_defaults(fn=cmd_eval)
+
+    pr = sub.add_parser("predict",
+                        help="score libFM data with a saved model")
+    pr.add_argument("--model", required=True)
+    pr.add_argument("--libfm", required=True)
+    pr.add_argument("--output", default=None,
+                    help="write one prediction per line ('-' or omit = "
+                         "stdout)")
+    pr.add_argument("--batch-size", type=int, default=8192)
+    pr.set_defaults(fn=cmd_predict)
 
     d = sub.add_parser("movielens-demo",
                        help="the reference driver's canonical ALS flow")

@@ -210,3 +210,30 @@ class TestGroupsFacadeCLI:
             "--groups", groups_file, "--group-reg-v", "0.01,0.05",
             "--split", "0.8,0.2"])
         assert "test_rmse" in res
+
+
+def test_cli_predict_roundtrip(capsys, tmp_path):
+    """train --save-model -> predict: one score per line, parity with
+    model.predict_dataset."""
+    from sparkfm_tpu.data import libfm, synth
+    ds = synth.synth_movielens(num_users=20, num_items=30,
+                               num_examples=800, seed=0)
+    train_file = str(tmp_path / "t.libfm")
+    libfm.save_libfm(ds, train_file)
+    model_dir = str(tmp_path / "m")
+    rc = cli.main(["train", "--libfm", train_file, "--solver", "als",
+                   "--factors", "2", "--iters", "2",
+                   "--save-model", model_dir])
+    assert rc == 0
+    capsys.readouterr()
+    out_file = str(tmp_path / "preds.txt")
+    rc = cli.main(["predict", "--model", model_dir, "--libfm", train_file,
+                   "--output", out_file])
+    assert rc == 0
+    preds = np.loadtxt(out_file)
+    assert preds.shape == (800,)
+    assert np.isfinite(preds).all()
+    from sparkfm_tpu.api import FMModel
+    ref = FMModel.load(model_dir).predict_dataset(
+        libfm.load_libfm(train_file))
+    np.testing.assert_allclose(preds, ref, rtol=1e-4, atol=1e-5)
