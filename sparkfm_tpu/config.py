@@ -148,8 +148,10 @@ class SGDConfig:
     #              (batch_iterator(dedup_budget=...) emits them), plain FM
     #              only, float32 only, adagrad/adagrad_row/sgd, no
     #              momentum, no attribute-group regularization.
-    #   "auto"   — direct below 2^16 features; above: fused when the
-    #              model/optimizer fit its layout, else dedup
+    #   "auto"   — direct below 2^16 features; above: hybrid when host
+    #              plans + the model/optimizer fit its restrictions
+    #              (measured fastest: 854K vs fused 750K ex/s at Criteo
+    #              shapes, v5e), else fused, else dedup
     #              (solvers/sgd.py::resolve_update_path).
     update_path: str = "auto"
     # Static unique-id budget U for the dedup path; 0 = next power of two

@@ -182,18 +182,35 @@ def _dense_scalar_update(opt: str, lr: float, sgd_cfg: SGDConfig,
     return x, slot, slot2
 
 
+def _hybrid_eligible(cfg: FMConfig, sgd_cfg: SGDConfig) -> bool:
+    """make_hybrid_train_step's static requirements (sgd_hybrid.py:59-70)
+    plus host plans (the sorted backward consumes plan.svals/sex, which
+    only the host input pipeline emits)."""
+    return (sgd_cfg.host_plan
+            and cfg.num_fields == 0
+            and sgd_cfg.optimizer in ("adagrad", "adagrad_row", "sgd")
+            and sgd_cfg.momentum == 0
+            and jnp.dtype(cfg.compute_dtype) == jnp.float32
+            and cfg.feature_groups is None)
+
+
 def resolve_update_path(cfg: FMConfig, sgd_cfg: SGDConfig) -> str:
-    """auto policy: small tables -> direct XLA; big tables -> fused-record
-    (one gather + one row-DMA write per unique id; solvers/sgd_fused.py)
-    when the model/optimizer fit its layout, else dedup."""
+    """auto policy: small tables -> direct XLA; big tables -> hybrid
+    (natural-order forward + analytic id-sorted backward;
+    solvers/sgd_hybrid.py — measured 854K vs fused's 750K ex/s at Criteo
+    shapes on v5e, bench.py) when host plans and the model/optimizer fit
+    its restrictions, else fused-record (one gather + one write per
+    unique id; solvers/sgd_fused.py), else dedup."""
     if sgd_cfg.update_path != "auto":
         return sgd_cfg.update_path
     if sgd_cfg.optimizer == "adagrad_row":
         # adagrad_row exists only on the fused-record layout; route there
         # regardless of table size (make_fused_train_step validates the rest).
-        return "fused"
+        return "hybrid" if _hybrid_eligible(cfg, sgd_cfg) else "fused"
     if cfg.num_features < (1 << 16):
         return "direct"
+    if _hybrid_eligible(cfg, sgd_cfg):
+        return "hybrid"
     if (cfg.num_fields == 0
             and sgd_cfg.optimizer in ("adagrad", "adagrad_row", "sgd")
             and sgd_cfg.momentum == 0):
@@ -235,11 +252,11 @@ def make_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
     path = resolve_update_path(cfg, sgd_cfg)
     if path == "dedup":
         return _make_dedup_train_step(cfg, sgd_cfg)
-    if path in ("fused", "sorted"):
+    if path in ("fused", "sorted", "hybrid"):
         raise ValueError(
             f"resolved update path is '{path}', which uses a FusedState — "
-            "build it with sparkfm_tpu.solvers.sgd_fused / sgd_sorted "
-            "instead (the trainer does this automatically)")
+            "build it with sparkfm_tpu.solvers.sgd_fused / sgd_sorted / "
+            "sgd_hybrid instead (the trainer does this automatically)")
 
     def train_step(state: SGDState, batch: SparseBatch):
         p = state.params

@@ -409,15 +409,39 @@ def test_adagrad_row_rejected_off_fused_path():
             step(state, b)
 
 
-def test_adagrad_row_auto_routes_to_fused():
-    """auto path selection must send adagrad_row to the fused layout even
-    for small tables (where auto would otherwise pick 'direct')."""
+def test_adagrad_row_auto_routes_to_fused_layout():
+    """auto path selection must send adagrad_row to the fused-record
+    layout even for small tables (where auto would otherwise pick
+    'direct'): hybrid with host plans, fused without."""
     from sparkfm_tpu.config import FMConfig, SGDConfig
     from sparkfm_tpu.solvers import sgd as sgd_solver
     cfg = FMConfig(num_features=32, num_factors=4)
     sgd_cfg = SGDConfig(batch_size=4, optimizer="adagrad_row",
                         update_path="auto")
+    assert sgd_solver.resolve_update_path(cfg, sgd_cfg) == "hybrid"
+    sgd_cfg = SGDConfig(batch_size=4, optimizer="adagrad_row",
+                        update_path="auto", host_plan=False)
     assert sgd_solver.resolve_update_path(cfg, sgd_cfg) == "fused"
+
+
+def test_auto_routes_big_tables_to_hybrid():
+    """Big tables + host plans -> hybrid (the measured-fastest path);
+    each hybrid restriction falls back to fused/dedup (VERDICT r2 item 1)."""
+    from sparkfm_tpu.config import FMConfig, SGDConfig
+    from sparkfm_tpu.solvers import sgd as sgd_solver
+    big = FMConfig(num_features=1 << 20, num_factors=8)
+    mk = lambda **kw: SGDConfig(batch_size=4, **kw)
+    assert sgd_solver.resolve_update_path(big, mk()) == "hybrid"
+    assert sgd_solver.resolve_update_path(big, mk(host_plan=False)) == "fused"
+    assert sgd_solver.resolve_update_path(big, mk(momentum=0.9)) == "dedup"
+    assert sgd_solver.resolve_update_path(big, mk(optimizer="adam")) == "dedup"
+    groups = FMConfig(num_features=1 << 20, num_factors=8,
+                      feature_groups=tuple([0] * (1 << 20)))
+    assert sgd_solver.resolve_update_path(groups, mk()) == "fused"
+    ffm = FMConfig(num_features=1 << 20, num_factors=8, num_fields=3)
+    assert sgd_solver.resolve_update_path(ffm, mk()) == "dedup"
+    small = FMConfig(num_features=64, num_factors=8)
+    assert sgd_solver.resolve_update_path(small, mk()) == "direct"
 
 
 def test_fused_step_validates_accumulate():
