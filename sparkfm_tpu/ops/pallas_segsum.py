@@ -64,10 +64,15 @@ def _segsum_kernel(seg_smem, g_ref, seg_vmem, out_ref,
     # one-hot (slots x local-ranks): M2[i, j] = [local[i] == j]
     iota_rank = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
     m2 = (local == iota_rank).astype(g.dtype)                 # (T, T)
-    # partial[j, w] = sum_i m2[i, j] * g[i, w]  (contract dim 0 of both)
+    # partial[j, w] = sum_i m2[i, j] * g[i, w]  (contract dim 0 of both).
+    # precision=HIGHEST is load-bearing: at default precision the TPU MXU
+    # runs ONE bf16 pass over f32 operands, silently rounding g to 8
+    # mantissa bits (~2^-8 relative error on every sum — measured on v5e;
+    # interpret mode is exact, so only hardware runs see it).
     partial = jax.lax.dot_general(
         m2, g, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                   # (T, W)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (T, W)
 
     # thread the carry of a run spanning the tile boundary into rank 0
     continuing = r0 == prev_rl[0]
@@ -144,7 +149,8 @@ def _segsum_sq_kernel(subtile: int, bf16x2: bool,
       * optional bf16x2: each operand column is split hi/lo
         (hi = bf16(x), lo = bf16(x - hi)) and reduced with two bf16 MXU
         passes accumulated in f32 — ~3x fewer MXU passes than native f32
-        at ~2^-17 relative error (the one-hot matrix is exact in bf16).
+        at ~2e-4 max relative error measured at Criteo shapes on v5e
+        (the one-hot matrix is exact in bf16).
     """
     t = g_ref.shape[0]
     w = g_ref.shape[1]
@@ -185,10 +191,14 @@ def _segsum_sq_kernel(subtile: int, bf16x2: bool,
                 m2b, lo, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
+            # HIGHEST precision: default lowers f32 MXU dots to one bf16
+            # pass (~2^-8 error; see _segsum_kernel). The bf16x2 branch
+            # handles its own precision via the hi/lo split.
             partial = jax.lax.dot_general(
                 m2.astype(jnp.float32), gg,
                 dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (S, 2W)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # (S, 2W)
 
         continuing = rs0 == prev_rl[0]
         row0 = (jax.lax.broadcasted_iota(
@@ -267,8 +277,8 @@ def segment_rowsum_sq(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
     The hybrid sorted-backward step's reduction (solvers/sgd_hybrid.py).
     force: auto|pallas|xla|interpret; the XLA fallback (and non-TPU auto)
     is an exact-f32 segment_sum of the packed [g | g²]. bf16x2 applies to
-    the Pallas path only (~1e-5 relative error on sums; set False for the
-    exact-f32 kernel).
+    the Pallas path only (~2e-4 max relative error on sums; set False for
+    the exact-f32 kernel).
     """
     from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
     if force == "xla" or (force == "auto" and not use_pallas_rowio()):
@@ -286,6 +296,204 @@ def segment_rowsum_sq(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
     out = _segment_rowsum_sq_pallas(
         g.astype(jnp.float32), seg.astype(jnp.int32), num_segments,
         tile=tile, subtile=subtile, bf16x2=bf16x2, interpret=interpret)
+    rank = jax.lax.iota(jnp.int32, num_segments)
+    valid = jnp.logical_and(rank >= seg[0], rank <= seg[-1])
+    return jnp.where(valid[:, None], out, 0.0)
+
+
+def _fm_grad_segsum_kernel(subtile: int, bf16x2: bool, k: int,
+                           seg_smem, coef_smem, vw_ref, ex_ref, x_ref,
+                           seg_vmem, out_ref, carry, prev_rl, buf, sem):
+    """Fused FM backward elementwise + [Σg | Σg²] streaming reduce.
+
+    The hybrid step's backward (solvers/sgd_hybrid.py) evaluates the
+    closed-form FM gradient in id-sorted slot order and reduces runs.
+    Doing the elementwise OUTSIDE the reduce kernel materializes the
+    (N, k+1) gradient pack in HBM (write + read back ≈ 170 MB at Criteo
+    shapes) and, measured in-step on v5e (benchmarks/ablate_hybrid.py),
+    costs ~4.4 ms on top of the ~4.0 ms reduce. This kernel streams the
+    *inputs* of the gradient formula instead and forms
+
+        g_v[i] = ds_i x_i (s_i - v_i x_i) + cv * v_i * active_i
+        g_w[i] = ds_i x_i + cw * w_i * active_i
+        active_i = wt_i if x_i != 0 else 0
+
+    on the VPU between the DMA-in and the one-hot MXU reduction — the
+    gradients never exist in HBM. Same carry/sub-tile/last-writer
+    discipline as :func:`_segsum_sq_kernel`; output rank r holds
+    [Σg_v (k) | Σg_w | Σg_v² (k) | Σg_w² | 0-pad] over its run.
+
+    coef_smem holds [cv, cw] = 2*reg/denom_reg (traced per-batch scalars).
+    """
+    t = vw_ref.shape[0]
+    wout = carry.shape[1]
+    wpad = wout - (2 * k + 2)
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        prev_rl[0] = -1
+
+    r0 = seg_smem[0]
+    cv = coef_smem[0]
+    cw = coef_smem[1]
+    n_sub = t // subtile
+
+    for si in range(n_sub):
+        s0 = si * subtile
+        rs0 = seg_smem[s0]
+        rsl = seg_smem[s0 + subtile - 1]
+        local = seg_vmem[s0:s0 + subtile, :] - rs0            # (S, 1)
+
+        vw = vw_ref[s0:s0 + subtile, :]                       # (S, k+1)
+        ex = ex_ref[s0:s0 + subtile, :]                       # (S, k+2)
+        x = x_ref[s0:s0 + subtile, :]                         # (S, 1)
+        v = vw[:, :k]
+        w = vw[:, k:k + 1]
+        s = ex[:, :k]
+        ds = ex[:, k:k + 1]
+        wt = ex[:, k + 1:k + 2]
+        active = jnp.where(x != 0.0, wt, 0.0)                 # (S, 1)
+        dsx = ds * x                                          # (S, 1)
+        g_v = dsx * (s - v * x) + (cv * active) * v           # (S, k)
+        g_w = dsx + (cw * active) * w                         # (S, 1)
+        gg = jnp.concatenate(
+            [g_v, g_w, g_v * g_v, g_w * g_w,
+             jnp.zeros((subtile, wpad), jnp.float32)], axis=1)  # (S, wout)
+
+        iota_rank = jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, subtile), 1)
+        m2 = (local == iota_rank)
+        if bf16x2:
+            m2b = m2.astype(jnp.bfloat16)
+            hi = gg.astype(jnp.bfloat16)
+            lo = (gg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            partial = jax.lax.dot_general(
+                m2b, hi, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = partial + jax.lax.dot_general(
+                m2b, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            # HIGHEST precision: see _segsum_kernel on the default's
+            # silent bf16 degradation of f32 MXU dots.
+            partial = jax.lax.dot_general(
+                m2.astype(jnp.float32), gg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # (S, wout)
+
+        continuing = rs0 == prev_rl[0]
+        row0 = (jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, 1), 0) == 0)
+        carry_in = jnp.where(continuing, 1.0, 0.0) * carry[...]
+        partial = partial + jnp.where(row0, 1.0, 0.0) * carry_in
+
+        last_mask = local == (rsl - rs0)
+        run_sum = jnp.sum(jnp.where(last_mask, gg, 0.0), axis=0,
+                          keepdims=True)                      # (1, wout)
+        whole_one_run = jnp.logical_and(continuing, rsl == rs0)
+        carry[...] = run_sum + jnp.where(whole_one_run, 1.0, 0.0) * carry_in
+        prev_rl[0] = rsl
+
+        buf[pl.ds(rs0 - r0, subtile), :] = partial
+
+    cp = pltpu.make_async_copy(
+        buf.at[pl.ds(0, t)], out_ref.at[pl.ds(r0, t)], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "k", "tile", "subtile",
+                              "bf16x2", "interpret"))
+def _fm_grad_segsum_pallas(vw: jnp.ndarray, ex: jnp.ndarray, x: jnp.ndarray,
+                           seg: jnp.ndarray, coef: jnp.ndarray,
+                           num_segments: int, k: int, tile: int = 1024,
+                           subtile: int = 256, bf16x2: bool = True,
+                           interpret: bool = False) -> jnp.ndarray:
+    n = vw.shape[0]
+    assert n % tile == 0 and tile % subtile == 0, (n, tile, subtile)
+    w_out = ((2 * k + 2 + 127) // 128) * 128
+    kern = functools.partial(_fm_grad_segsum_kernel, subtile, bf16x2, k)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),            # seg scalars
+            pl.BlockSpec((2,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),            # [cv, cw]
+            pl.BlockSpec((tile, k + 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # vw_srt
+            pl.BlockSpec((tile, k + 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # ex_srt
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # x (svals)
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # seg vector
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, w_out), jnp.float32),              # carry
+            pltpu.SMEM((1,), jnp.int32),                      # prev_rl
+            pltpu.VMEM((tile, w_out), jnp.float32),           # buf window
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_segments + tile, w_out),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg, coef, vw, ex, x[:, None], seg[:, None])
+    return out[:num_segments, :2 * k + 2]
+
+
+def fm_grad_segsum(vw_srt: jnp.ndarray, ex_srt: jnp.ndarray,
+                   x: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
+                   cv, cw, *, tile: int = 1024, subtile: int = 256,
+                   bf16x2: bool = True, force: str = "auto") -> jnp.ndarray:
+    """FM sorted backward + per-unique reduce in one pass:
+    (N, k+1) rows, (N, k+2) example pack, (N,) values -> (U, 2k+2)
+    [Σg_v | Σg_w | Σg_v² | Σg_w²]. See _fm_grad_segsum_kernel.
+
+    cv/cw are the per-batch L2 coefficients 2*reg/denom_reg (traced
+    scalars). force: auto|pallas|xla|interpret; the XLA fallback (and
+    non-TPU auto) materializes the gradient pack and segment_sums it —
+    exact f32, used for parity tests.
+    """
+    k = vw_srt.shape[1] - 1
+    v_srt = vw_srt[:, :k]
+    w_srt = vw_srt[:, k]
+
+    from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
+    if force == "xla" or (force == "auto" and not use_pallas_rowio()):
+        s_srt, ds_srt, wt_srt = (ex_srt[:, :k], ex_srt[:, k],
+                                 ex_srt[:, k + 1])
+        active = jnp.where(x != 0, wt_srt, 0.0)
+        dsx = ds_srt * x
+        g_v = dsx[:, None] * (s_srt - v_srt * x[:, None]) \
+            + (cv * active)[:, None] * v_srt
+        g_w = dsx + cw * w_srt * active
+        gpack = jnp.concatenate([g_v, g_w[:, None]], axis=1)
+        packed = jnp.concatenate([gpack, jnp.square(gpack)], axis=1)
+        return jax.ops.segment_sum(packed, seg, num_segments=num_segments)
+
+    interpret = force == "interpret"
+    n = vw_srt.shape[0]
+    pad_n = (-n) % tile
+    if pad_n:
+        zrow = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad_n,) + a.shape[1:], a.dtype)], axis=0)
+        vw_srt, ex_srt, x = zrow(vw_srt), zrow(ex_srt), zrow(x)
+        seg = jnp.concatenate([seg, jnp.broadcast_to(seg[-1:], (pad_n,))])
+    coef = jnp.stack([jnp.asarray(cv, jnp.float32),
+                      jnp.asarray(cw, jnp.float32)])
+    out = _fm_grad_segsum_pallas(
+        vw_srt.astype(jnp.float32), ex_srt.astype(jnp.float32),
+        x.astype(jnp.float32), seg.astype(jnp.int32), coef,
+        num_segments, k, tile=tile, subtile=subtile, bf16x2=bf16x2,
+        interpret=interpret)
     rank = jax.lax.iota(jnp.int32, num_segments)
     valid = jnp.logical_and(rank >= seg[0], rank <= seg[-1])
     return jnp.where(valid[:, None], out, 0.0)

@@ -54,7 +54,7 @@ def make_hybrid_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
     """(FusedState, SparseBatch) -> (FusedState, aux). See module doc.
 
     segsum_force/bf16x2 feed segment_rowsum_sq (tests pin "xla" for exact
-    f32 parity; bf16x2=True costs ~1e-5 relative error on gradient sums).
+    f32 parity; bf16x2=True costs ~2e-4 max relative error on gradient sums).
     """
     if cfg.num_fields > 0:
         raise ValueError("hybrid path supports plain FM (use dedup for FFM)")
@@ -121,32 +121,26 @@ def make_hybrid_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
             data_loss = jnp.sum(jnp.square(err) * wt) / denom_data
             ds = 2.0 * err * wt / denom_data
 
-        # ---- sorted-order analytic backward
+        # ---- sorted-order analytic backward, fully in-kernel: the
+        # gradient formula AND the [Σg | Σg²] reduce run in one streaming
+        # Pallas pass (ops/pallas_segsum.py::fm_grad_segsum) — the (N, k+1)
+        # gradient pack never exists in HBM (its elementwise production
+        # alone measured ~4.4 ms in-step on v5e, benchmarks/ablate_hybrid.py)
         vw_srt = vw_u.at[plan.seg].get(
             indices_are_sorted=True, mode="promise_in_bounds")  # (N, k+1)
-        v_srt = vw_srt[:, :k]
-        w_srt = vw_srt[:, k]
         ex_pack = jnp.concatenate(
             [s, ds[:, None], wt[:, None]], axis=1)            # (B, k+2)
         ex_srt = ex_pack[plan.sex]                            # (N, k+2)
-        s_srt, ds_srt, wt_srt = (ex_srt[:, :k], ex_srt[:, k],
-                                 ex_srt[:, k + 1])
         x = plan.svals                                        # (N,)
-        active = jnp.where(x != 0, wt_srt, 0.0)
-        dsx = ds_srt * x
-        g_v = (dsx[:, None] * (s_srt - v_srt * x[:, None])
-               + (2.0 * cfg.reg_v / denom_reg) * v_srt * active[:, None])
-        if cfg.use_linear:
-            g_w = dsx + (2.0 * cfg.reg_w / denom_reg) * w_srt * active
-        else:
-            g_w = jnp.zeros_like(dsx)
-        gpack = jnp.concatenate([g_v, g_w[:, None]], axis=1)  # (N, k+1)
-
-        # [Σg_v | Σg_w | Σg_v² | Σg_w²] per unique row, squares in-kernel
-        acc = SS.segment_rowsum_sq(gpack, plan.seg, budget,
-                                   bf16x2=bf16x2, force=segsum_force)
+        acc = SS.fm_grad_segsum(
+            vw_srt, ex_srt, x, plan.seg, budget,
+            2.0 * cfg.reg_v / denom_reg, 2.0 * cfg.reg_w / denom_reg,
+            bf16x2=bf16x2, force=segsum_force)
         g_v_u, g_w_u = acc[:, :k], acc[:, k]
         sq_v_u, sq_w_u = acc[:, k + 1:2 * k + 1], acc[:, 2 * k + 1]
+        if not cfg.use_linear:
+            g_w_u = jnp.zeros_like(g_w_u)
+            sq_w_u = jnp.zeros_like(sq_w_u)
 
         # ---- update (identical formulas to make_fused_train_step)
         lr = sgd_cfg.learning_rate
