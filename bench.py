@@ -27,10 +27,13 @@ Env knobs (all optional):
                   (the production input pipeline computes these overlapped
                   with device compute — data.batching.prefetch); 0 = the
                   step dedups on device
-  BENCH_BUDGET    unique-id budget U (default 2^16; the zipf batch has
-                  ~40K uniques so this is >1.6x headroom — the final
-                  step's overflow flag is asserted 0 to keep the number
-                  honest)
+  BENCH_BUDGET    unique-id budget U. Default "ladder" = the library's
+                  auto behavior (ops.embedding.ladder_budget): each
+                  pre-staged batch's plan is padded to the coarse rung
+                  just above its ACTUAL unique count (~40K uniques ->
+                  rung 49152), exactly what trainer-driven host plans
+                  do. Overflow is impossible by construction and still
+                  asserted 0. A numeric value pins a static budget.
 """
 
 import json
@@ -56,7 +59,8 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", 30))
     dist = os.environ.get("BENCH_DIST", "zipf")
     path = os.environ.get("BENCH_PATH", "auto")
-    budget = int(os.environ.get("BENCH_BUDGET", 1 << 16))
+    budget_env = os.environ.get("BENCH_BUDGET", "ladder")
+    budget = 0 if budget_env == "ladder" else int(budget_env)
 
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
@@ -102,18 +106,39 @@ def main():
     host_plan = os.environ.get("BENCH_HOSTPLAN", "1") == "1" and resolved in (
         "dedup", "fused", "hybrid")
 
-    def make_batch():
+    # Ladder mode mirrors the trainer's host-plan auto behavior: size every
+    # plan to the shared monotonic rung above the actual unique counts.
+    from sparkfm_tpu.ops import embedding as E
+    ladder = budget == 0
+    ladder_cap = E.auto_budget(batch * nnz)
+    rung = [1]
+
+    def make_host_batch():
         if dist == "uniform":
             ids = rng.integers(0, buckets, (batch, nnz)).astype(np.int32)
         else:
             raw = rng.zipf(1.3, size=(batch, nnz)).astype(np.int64)
             ids = ((raw * 2654435761) % buckets).astype(np.int32)
         y = rng.integers(0, 2, (batch,)).astype(np.float32)
-        plan = None
         vals = np.ones((batch, nnz), np.float32)
+        hp = None
         if host_plan:
-            from sparkfm_tpu.ops import embedding as E
-            hp = E.host_dedup(ids, budget, fill=buckets, vals=vals)
+            hp = E.host_dedup(ids, ladder_cap if ladder else budget,
+                              fill=buckets, vals=vals)
+            if ladder:
+                rung[0] = max(rung[0],
+                              E.ladder_budget(int(hp.count), cap=ladder_cap))
+        return ids, vals, y, hp
+
+    host_batches = [make_host_batch() for _ in range(n_batches)]
+
+    def stage(hb):
+        ids, vals, y, hp = hb
+        plan = None
+        if hp is not None:
+            if ladder:
+                # all batches share the final monotonic rung -> one compile
+                hp = hp._replace(uids=hp.uids[:rung[0]])
             plan = E.DedupBatch(
                 uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
                 count=jnp.asarray(hp.count),
@@ -127,7 +152,7 @@ def main():
             mask=jnp.ones((batch,), bool),
             plan=plan)
 
-    batches = [make_batch() for _ in range(n_batches)]
+    batches = [stage(hb) for hb in host_batches]
     for b in batches:
         jax.block_until_ready(b.ids)
 

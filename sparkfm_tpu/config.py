@@ -154,8 +154,13 @@ class SGDConfig:
     #              shapes, v5e), else fused, else dedup
     #              (solvers/sgd.py::resolve_update_path).
     update_path: str = "auto"
-    # Static unique-id budget U for the dedup path; 0 = next power of two
-    # >= batch nnz slots (no overflow possible), capped at 2^18.
+    # Static unique-id budget U for the dedup-plan paths. 0 = auto:
+    # host-plan paths use the budget LADDER (each batch's plan is sized to
+    # its actual unique count rounded up to a coarse rung — overflow
+    # impossible, unique-row costs tight; see ops.embedding.ladder_budget);
+    # device-plan paths use the next power of two >= batch nnz slots
+    # (no overflow possible), capped at 2^18. A positive value pins one
+    # static budget (required for the sharded paths).
     unique_budget: int = 0
     # Write-back kernel for the dedup path's unique rows:
     #   "auto"   — XLA scatter with sortedness hints (measured fastest)

