@@ -91,18 +91,26 @@ def state_pspecs(ffm: bool = False):
 
 
 def batch_pspecs(has_mask: bool = True, has_fields: bool = False,
-                 has_plan: bool = False):
+                 has_plan: bool = False, plan_mode: str = None):
     """PartitionSpecs for a SparseBatch: batch dimension over `data`.
 
-    With ``has_plan``, the batch carries a *stacked* per-data-shard dedup
-    plan (ops.embedding.stack_plans): uids/count/overflow gain a leading
-    (D,) shard axis sharded over `data`; ranks concatenate along the batch
-    axis like ids. order/seg are not carried (the sharded step accumulates
+    plan_mode (``has_plan=True`` is legacy shorthand for "stacked"):
+      * "stacked" — a *per-data-shard* dedup plan (ops.embedding
+        .stack_plans): uids/count/overflow gain a leading (D,) shard axis
+        sharded over `data`; ranks concatenate along the batch axis like
+        ids. Consumed by the "unique" exchange.
+      * "global" — ONE host plan over the whole global batch:
+        uids/count/overflow replicated, ranks index the SHARED unique
+        space and shard over `data` with the batch rows. Consumed by the
+        "global" exchange (aligned per-unique sums -> one psum).
+    order/seg/svals/sex are never carried (the sharded steps accumulate
     with the local scatter-add, which needs only ranks).
     """
     from sparkfm_tpu.data.batching import SparseBatch
+    if has_plan and plan_mode is None:
+        plan_mode = "stacked"
     plan = None
-    if has_plan:
+    if plan_mode == "stacked":
         from sparkfm_tpu.ops.embedding import DedupBatch
         plan = DedupBatch(
             uids=P(DATA_AXIS, None),
@@ -110,6 +118,16 @@ def batch_pspecs(has_mask: bool = True, has_fields: bool = False,
             count=P(DATA_AXIS),
             overflow=P(DATA_AXIS),
             order=None, seg=None)
+    elif plan_mode == "global":
+        from sparkfm_tpu.ops.embedding import DedupBatch
+        plan = DedupBatch(
+            uids=P(None),
+            ranks=P(DATA_AXIS, None),
+            count=P(),
+            overflow=P(),
+            order=None, seg=None)
+    elif plan_mode is not None:
+        raise ValueError(f"unknown plan_mode={plan_mode!r}")
     return SparseBatch(
         ids=P(DATA_AXIS, None),
         vals=P(DATA_AXIS, None),

@@ -85,17 +85,23 @@ def host_local_to_global(mesh: Mesh, spec: P, host_local: np.ndarray):
     return jax.make_array_from_process_local_data(sharding, host_local)
 
 
-def global_batch(mesh: Mesh, batch, has_fields: bool = False, plan=None):
+def global_batch(mesh: Mesh, batch, has_fields: bool = False, plan=None,
+                 plan_mode: str = "stacked"):
     """Lift a host-local SparseBatch into a globally (data-)sharded one.
 
-    ``plan`` (optional): a stacked per-data-shard dedup plan
-    (ops.embedding.stack_plans) to ride the batch — lifted with the
-    matching specs so the sharded unique exchange can consume it.
+    ``plan`` (optional): a dedup plan to ride the batch, lifted with the
+    matching specs — either a stacked per-data-shard plan
+    (ops.embedding.stack_plans; plan_mode="stacked", the unique
+    exchange) or ONE plan over the whole global batch whose ranks slice
+    per host alongside ids (plan_mode="global", the global exchange:
+    uids/count/overflow replicated — every process must supply identical
+    arrays, which the same-seed same-global-batch input discipline
+    guarantees).
     """
     from sparkfm_tpu.data.batching import SparseBatch
     specs = M.batch_pspecs(has_mask=batch.mask is not None,
                            has_fields=has_fields,
-                           has_plan=plan is not None)
+                           plan_mode=plan_mode if plan is not None else None)
     lift = lambda x, s: None if x is None else host_local_to_global(
         mesh, s, np.asarray(x))
     lifted_plan = None

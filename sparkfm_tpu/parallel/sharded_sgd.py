@@ -10,7 +10,7 @@ FMModel lives whole on its heap). Here:
     table; a 2^24-bucket Criteo table (BASELINE config 3) spreads evenly.
   * The batch is sharded over the `data` mesh axis.
 
-Two exchange strategies (``make_sharded_train_step(..., exchange=...)``):
+Three exchange strategies (``make_sharded_train_step(..., exchange=...)``):
 
   * ``"unique"`` (default for adagrad/sgd) — the SURVEY §2.7 centerpiece.
     Each data shard dedups its batch ids (host plan or on-device sorts,
@@ -29,6 +29,13 @@ Two exchange strategies (``make_sharded_train_step(..., exchange=...)``):
     arithmetic (the adagrad accumulator sees the same Σg² and every
     duplicate sees the post-accumulation slot); only float summation order
     differs (tested to tight tolerance on the 8-device CPU mesh).
+  * ``"global"`` — the pod-scale refinement of "unique" (round 3): ONE
+    host dedup plan covers the whole global batch, so every data shard's
+    per-unique sums live in the SAME (U_g, 2K+2) rank space and the
+    backward all_gather (comm D·U·W per chip — the scaling wall the
+    round-2 review flagged) collapses to ONE psum (ring comm ~2·U_g·W,
+    independent of D; U_g grows sublinearly in global batch under
+    power-law ids). The trainer uses this whenever host plans are on.
   * ``"dense"`` — the simple masked-psum of full slot-row tensors +
     all_gather of slot grads. Comm scales with B·L. Kept for adam/momentum
     (their slot updates don't decompose into cross-shard adds) and as the
@@ -202,23 +209,37 @@ def make_sharded_train_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh,
 
     cfg.num_features must already be padded (init_sharded_state does this).
 
-    exchange: "unique" (per-shard dedup; collectives move unique rows —
-    see module doc), "dense" (full slot tensors), or "auto" (unique for
-    adagrad / plain sgd, dense for adam / momentum, whose slot updates
-    don't decompose into cross-shard adds).
+    exchange:
+      * "unique" — per-shard dedup; collectives move unique rows (module
+        doc). Backward: all_gather over `data` of each shard's packed
+        (U, 2K+2) sums — comm D*U*W per chip.
+      * "global" — ONE host dedup plan over the whole global batch
+        (batch.plan in "global" layout, mesh.batch_pspecs): every shard's
+        per-unique sums live in the SAME (U_g, 2K+2) rank space, so the
+        backward exchange is a single psum over `data` — comm ~2*U_g*W
+        per chip, INDEPENDENT of the data-axis size (the pod-scale fix
+        for the all_gather; U_g grows sublinearly with global batch).
+        Requires a global host plan; rejects device-plan batches loudly.
+      * "dense" — full slot tensors. Comm scales with B*L. Kept for
+        adam/momentum (their slot updates don't decompose into
+        cross-shard adds) and as the oracle in parity tests.
+      * "auto" — unique for adagrad / plain sgd, dense otherwise. (The
+        trainer passes "global" explicitly when it builds global plans.)
     """
     if exchange == "auto":
         exchange = ("unique" if sgd_cfg.optimizer in ("adagrad", "sgd")
                     and sgd_cfg.momentum == 0 else "dense")
-    if exchange not in ("unique", "dense"):
+    if exchange not in ("unique", "dense", "global"):
         raise ValueError(f"unknown exchange={exchange!r}")
-    if exchange == "unique" and (
+    if exchange in ("unique", "global") and (
             sgd_cfg.optimizer not in ("adagrad", "sgd")
             or sgd_cfg.momentum > 0):
-        raise ValueError("unique exchange supports adagrad/plain sgd; use "
-                         "exchange='dense' for adam/momentum")
+        raise ValueError(f"{exchange} exchange supports adagrad/plain sgd; "
+                         "use exchange='dense' for adam/momentum")
     if exchange == "unique":
         return _make_unique_sharded_step(cfg, sgd_cfg, mesh)
+    if exchange == "global":
+        return _make_global_sharded_step(cfg, sgd_cfg, mesh)
     return _make_dense_sharded_step(cfg, sgd_cfg, mesh)
 
 
@@ -340,6 +361,137 @@ def _make_unique_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
                 check_vma=False)
             cache[has_plan] = jax.jit(sharded, donate_argnums=(0,))
         return cache[has_plan](state, batch)
+
+    return call
+
+
+def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
+    """The global-plan exchange (make_sharded_train_step, "global").
+
+    One host dedup plan covers the WHOLE global batch, so every data
+    shard's local per-unique gradient sums live in the same (U_g, 2kf+2)
+    rank space and the backward exchange collapses to ONE psum over
+    `data` (ring comm ~2*U_g*W per chip regardless of D — the "unique"
+    exchange's all_gather moves D*U*W and bites at pod scale; module
+    doc). Forward is the same masked unique-row psum over `model`, now on
+    the global unique set (U_g >= per-shard U; for power-law ids U_g
+    grows sublinearly in the global batch, so the forward overhead is
+    small next to the backward savings at D >= 4). Update math is
+    identical to the "unique" exchange in exact arithmetic: the psum'd
+    sums are exactly what its masked all_gather + scatter-add applies.
+    """
+    from sparkfm_tpu.ops import embedding as E
+
+    ffm = cfg.num_fields > 0
+    k = cfg.num_factors
+    kf = cfg.num_fields * k if ffm else k
+    state_specs = M.state_pspecs(ffm=ffm)
+    aux_specs = {"loss": P(), "unique_count": P(), "unique_overflow": P()}
+
+    def step(state: SGDState, batch: SparseBatch):
+        p = state.params
+        rows_per_shard = p.w.shape[0]
+        ids = batch.ids                            # (B/D, L) global ids
+        n_loc = ids.shape[0] * ids.shape[1]
+
+        uids = batch.plan.uids                     # (U_g,) replicated
+        ranks = batch.plan.ranks                   # (B/D, L) global ranks
+        count = batch.plan.count
+        overflow = batch.plan.overflow
+        budget = uids.shape[0]
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(count, budget)
+
+        # ---- forward: ONE psum over `model` of masked UNIQUE rows
+        w_u = _gather_rows(p.w, uids, M.MODEL_AXIS)          # (U_g,)
+        v_u = _gather_rows(p.v, uids, M.MODEL_AXIS)          # (U_g,[nf,]k)
+        w_u = jnp.where(valid_u, w_u, 0.0)
+        v_u = jnp.where(valid_u.reshape((-1,) + (1,) * (v_u.ndim - 1)),
+                        v_u, 0.0)
+
+        vw_u = jnp.concatenate([v_u.reshape(budget, kf), w_u[:, None]],
+                               axis=1)
+        vw_rows = vw_u[ranks]                                # (B/D, L, kf+1)
+        v_rows = vw_rows[..., :kf].reshape(ids.shape + v_u.shape[1:])
+        w_rows = vw_rows[..., kf]
+
+        def objective(w0, w_rows, v_rows):
+            dsum, rsum, count_ex, _ = _loss_sums_from_rows(
+                w0, w_rows, v_rows, batch, cfg)
+            total = jax.lax.psum(count_ex, M.DATA_AXIS)
+            inv = 1.0 / jnp.maximum(total, 1.0)
+            return (dsum + rsum) * inv, (dsum, total)
+
+        grads, (dsum, total) = jax.grad(
+            objective, argnums=(0, 1, 2), has_aux=True)(p.w0, w_rows, v_rows)
+        g_w0, g_wrows, g_vrows = grads
+
+        # ---- local reduce into the SHARED global rank space
+        gv = g_vrows.reshape(n_loc, kf)
+        gw = g_wrows.reshape(n_loc, 1)
+        packed = jnp.concatenate(
+            [gv, gw, jnp.square(gv), jnp.square(gw)], axis=-1)
+        acc = jnp.zeros((budget, 2 * kf + 2), packed.dtype
+                        ).at[ranks.reshape(-1)].add(packed)  # (U_g, 2kf+2)
+
+        # ---- exchange: ONE psum over `data` (ranks aligned across shards)
+        acc = jax.lax.psum(acc, M.DATA_AXIS)
+
+        mine, lids = _own_mask_and_lid(uids, rows_per_shard, M.MODEL_AXIS)
+        acc = jnp.where(mine[:, None], acc, 0.0)
+        g_v_u = acc[:, :kf]
+        g_w_u = acc[:, kf]
+        sq_v_u = acc[:, kf + 1:2 * kf + 1]
+        sq_w_u = acc[:, 2 * kf + 1]
+        if ffm:
+            g_v_u = g_v_u.reshape(-1, cfg.num_fields, k)
+            sq_v_u = sq_v_u.reshape(-1, cfg.num_fields, k)
+
+        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
+        w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
+                                   lids, g_w_u, sq_w_u)
+        v, sv = _unique_row_update(opt, lr, sgd_cfg, p.v, state.slot_v,
+                                   lids, g_v_u, sq_v_u)
+
+        if cfg.use_bias:
+            g_w0_glob = jax.lax.psum(g_w0, M.DATA_AXIS)
+            w0, sw0, s2w0 = sgd_solver._dense_scalar_update(
+                opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
+                g_w0_glob, state.step)
+        else:
+            w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
+
+        loss = jax.lax.psum(dsum, M.DATA_AXIS) / jnp.maximum(total, 1.0)
+        new_state = SGDState(
+            params=FMParams(w0=w0, w=w, v=v),
+            slot_w0=sw0, slot_w=sw, slot_v=sv,
+            slot2_w0=s2w0, slot2_w=state.slot2_w, slot2_v=state.slot2_v,
+            step=state.step + 1)
+        aux = {"loss": loss, "unique_count": count,
+               "unique_overflow": overflow}
+        return new_state, aux
+
+    batch_specs = M.batch_pspecs(has_mask=True, has_fields=ffm,
+                                 plan_mode="global")
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(state_specs, batch_specs),
+        out_specs=(state_specs, aux_specs),
+        check_vma=False)
+    jitted = jax.jit(sharded, donate_argnums=(0,))
+
+    def call(state, batch):
+        if batch.plan is None or batch.plan.uids.ndim != 1:
+            raise ValueError(
+                "exchange='global' requires ONE host dedup plan over the "
+                "whole global batch (uids shape (U_g,)); build it with "
+                "ops.embedding.host_dedup on the full id block, or use "
+                "exchange='unique' for stacked per-shard plans")
+        if batch.plan.order is not None:
+            import dataclasses as _dc
+            batch = _dc.replace(
+                batch, plan=batch.plan._replace(order=None, seg=None,
+                                                svals=None, sex=None))
+        return jitted(state, batch)
 
     return call
 

@@ -243,16 +243,27 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
     ffm = cfg.num_fields > 0
 
     state, pcfg = _S.init_sharded_state(cfg, mesh, key)
-    step_fn = _S.make_sharded_train_step(pcfg, sgd_cfg, mesh)
-    score_fn = _S.make_sharded_score_fn(pcfg, mesh)
     unique = (sgd_cfg.optimizer in ("adagrad", "sgd")
               and sgd_cfg.momentum == 0)
 
-    # Host dedup plans: per data shard, stacked (ops.embedding.stack_plans).
+    # Host plans + unique-compatible optimizer -> the GLOBAL exchange: one
+    # host dedup plan over the whole global batch, backward = one psum of
+    # aligned per-unique sums (comm independent of the data-axis size —
+    # parallel/sharded_sgd.py module doc). Otherwise the per-shard unique
+    # exchange (device dedup) or dense (adam/momentum) via "auto".
+    use_global = sgd_cfg.host_plan and unique
+    step_fn = _S.make_sharded_train_step(
+        pcfg, sgd_cfg, mesh, exchange="global" if use_global else "auto")
+    score_fn = _S.make_sharded_score_fn(pcfg, mesh)
+
     plan_budget = plan_fill = None
-    if sgd_cfg.host_plan and unique:
-        n_loc = (sgd_cfg.batch_size // d_shards) * train.max_nnz
-        plan_budget = sgd_cfg.unique_budget or _E.auto_budget(n_loc)
+    if use_global:
+        n_glob = sgd_cfg.batch_size * train.max_nnz
+        # unique_budget=0 -> budget ladder on the global unique count
+        # (monotonic rung, same policy as the single-device path).
+        plan_budget = sgd_cfg.unique_budget or "ladder"
+        plan_ladder_cap = _E.auto_budget(n_glob)
+        plan_rung = [1]
         plan_fill = pcfg.num_features - 1
 
     history: List[Dict[str, float]] = []
@@ -273,7 +284,20 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
         # seed), keeps only its contiguous process slice, and lifts it into
         # the globally sharded batch (make_array_from_process_local_data
         # assembles the rest). Single-process: the slice is the whole batch.
-        local_shards = d_shards
+        plan = None
+        if plan_budget is not None:
+            # Global plan: dedup the FULL global id block (identical on
+            # every process by the same-seed discipline) BEFORE slicing;
+            # ranks slice per host alongside ids below.
+            ids_full = np.asarray(batch.ids)
+            if plan_budget == "ladder":
+                hp = _E.host_dedup(ids_full, plan_ladder_cap, plan_fill)
+                plan_rung[0] = max(plan_rung[0], _E.ladder_budget(
+                    int(hp.count), cap=plan_ladder_cap))
+                hp = hp._replace(uids=hp.uids[:plan_rung[0]])
+            else:
+                hp = _E.host_dedup(ids_full, plan_budget, plan_fill)
+            plan = hp._replace(order=None, seg=None, svals=None, sex=None)
         if jax.process_count() > 1:
             sl = _MH.process_batch_slice(batch.batch_size)
             batch = dataclasses.replace(
@@ -282,12 +306,10 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
                 mask=None if batch.mask is None else batch.mask[sl],
                 field_ids=(None if batch.field_ids is None
                            else batch.field_ids[sl]))
-            local_shards = d_shards // jax.process_count()
-        plan = None
-        if plan_budget is not None:
-            plan = _E.stack_plans(np.asarray(batch.ids), local_shards,
-                                  budget=plan_budget, fill=plan_fill)
-        return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan)
+            if plan is not None:
+                plan = plan._replace(ranks=plan.ranks[sl])
+        return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,
+                                plan_mode="global")
 
     n_examples = 0
     t0 = time.perf_counter()

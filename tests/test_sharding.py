@@ -275,3 +275,80 @@ def test_sharded_groups_parity_and_padding():
     np.testing.assert_allclose(np.asarray(st_sh.params.v),
                                np.asarray(st_ref.params.v),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_global_exchange_matches_unique_and_dense():
+    """The global-plan exchange (ONE psum of aligned per-unique sums —
+    the pod-scale replacement for the all_gather backward) computes the
+    same update as the unique and dense exchanges, on plain FM and FFM."""
+    import dataclasses
+    from sparkfm_tpu.ops import embedding as E
+
+    for fields, mesh_shape in ((0, (4, 2)), (3, (2, 4))):
+        ds = synth.synth_ctr(num_examples=1024,
+                             num_fields=max(fields, 4),
+                             num_buckets=512, seed=11)
+        cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                       num_fields=fields, task=Task.CLASSIFICATION,
+                       reg_w=1e-4, reg_v=1e-4, seed=11)
+        sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                            optimizer="adagrad", unique_budget=512)
+        mesh = M.make_mesh(*mesh_shape)
+        states, losses = [], []
+        for exchange in ("global", "unique"):
+            state, pcfg = sharded_sgd.init_sharded_state(
+                cfg, mesh, key=jax.random.PRNGKey(12))
+            fill = pcfg.num_features - 1
+            step = sharded_sgd.make_sharded_train_step(
+                pcfg, sgd_cfg, mesh, exchange=exchange)
+            ls = []
+            for i, b in enumerate(batch_iterator(ds, 256, shuffle=False)):
+                if i == 3:
+                    break
+                if exchange == "global":
+                    hp = E.host_dedup(np.asarray(b.ids), 512, fill)
+                    plan = E.DedupBatch(
+                        uids=jnp.asarray(hp.uids),
+                        ranks=jnp.asarray(hp.ranks),
+                        count=jnp.asarray(hp.count),
+                        overflow=jnp.asarray(hp.overflow),
+                        order=None, seg=None)
+                    b = dataclasses.replace(b, plan=plan)
+                state, aux = step(state, b)
+                assert not bool(aux["unique_overflow"])
+                ls.append(float(aux["loss"]))
+            states.append(_unshard(state))
+            losses.append(ls)
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+        for fld in ("w", "v"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(states[0].params, fld)),
+                np.asarray(getattr(states[1].params, fld)),
+                rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(states[0].slot_v),
+                                   np.asarray(states[1].slot_v),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_global_exchange_requires_global_plan():
+    from sparkfm_tpu.ops import embedding as E
+
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=256, seed=13)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=2, seed=13)
+    sgd_cfg = SGDConfig(batch_size=128, learning_rate=0.1)
+    mesh = M.make_mesh(4, 2)
+    state, pcfg = sharded_sgd.init_sharded_state(cfg, mesh)
+    step = sharded_sgd.make_sharded_train_step(pcfg, sgd_cfg, mesh,
+                                               exchange="global")
+    b = next(iter(batch_iterator(ds, 128)))
+    with pytest.raises(ValueError, match="global"):
+        step(state, b)   # no plan at all
+    import dataclasses
+    stacked = E.stack_plans(np.asarray(b.ids), 4, budget=64,
+                            fill=pcfg.num_features - 1)
+    stacked = jax.tree_util.tree_map(
+        lambda x: None if x is None else jnp.asarray(x), stacked,
+        is_leaf=lambda x: x is None)
+    with pytest.raises(ValueError, match="global"):
+        step(state, dataclasses.replace(b, plan=stacked))
