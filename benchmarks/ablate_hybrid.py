@@ -11,8 +11,7 @@ fusion/overlap). Stages:
   fwd      forward elementwise (vx, s, ssq, score, loss)
   sortg    sorted spread vw_srt = vw_u[seg]                (N, k+1)
   exg      example gather ex_srt = ex_pack[sex]            (N, k+2)
-  grad     backward elementwise (g_v, g_w, gpack concat)
-  segsum   segment_rowsum_sq reduce                        (U, 2k+2)
+  gradsegsum  fused backward: fm_grad_segsum kernel       (U, 2k+2)
   write    big-table write-back scatter-set
 
 Usage: python benchmarks/ablate_hybrid.py [batch] [budget] [stubs,csv]
@@ -39,7 +38,7 @@ def main():
     from sparkfm_tpu.solvers import sgd_fused
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
-    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 16
+    budget = int(sys.argv[2]) if len(sys.argv) > 2 else 40960
     R, L, K = 1 << 22, 39, 32
     k = K
     N = B * L
@@ -127,27 +126,16 @@ def main():
                 ex_srt = ex_srt + plan.sex[:, None].astype(jnp.float32) * 1e-12
             else:
                 ex_srt = ex_pack[plan.sex]
-            s_srt, ds_srt, wt_srt = (ex_srt[:, :k], ex_srt[:, k],
-                                     ex_srt[:, k + 1])
             x = plan.svals
-            if stub == "grad":
-                gpack = jnp.concatenate(
-                    [v_srt, w_srt[:, None]], axis=1) * (1.0 - 1e-9)
-            else:
-                active = jnp.where(x != 0, wt_srt, 0.0)
-                dsx = ds_srt * x
-                g_v = (dsx[:, None] * (s_srt - v_srt * x[:, None])
-                       + (2.0 * cfg.reg_v / denom_reg)
-                       * v_srt * active[:, None])
-                g_w = dsx + (2.0 * cfg.reg_w / denom_reg) * w_srt * active
-                gpack = jnp.concatenate([g_v, g_w[:, None]], axis=1)
-
-            if stub == "segsum":
+            if stub == "gradsegsum":
                 acc = jnp.concatenate(
-                    [gpack[:budget], jnp.square(gpack[:budget])], axis=1)
-                acc = acc + jnp.float32(1e-30)
+                    [vw_srt[:budget], jnp.square(vw_srt[:budget])], axis=1)
+                acc = acc + ex_srt[:budget, :1] * 1e-30
             else:
-                acc = SS.segment_rowsum_sq(gpack, plan.seg, budget)
+                acc = SS.fm_grad_segsum(
+                    vw_srt, ex_srt, x, plan.seg, budget,
+                    2.0 * cfg.reg_v / denom_reg,
+                    2.0 * cfg.reg_w / denom_reg)
             g_v_u, g_w_u = acc[:, :k], acc[:, k]
             sq_v_u, sq_w_u = acc[:, k + 1:2 * k + 1], acc[:, 2 * k + 1]
 
@@ -177,8 +165,8 @@ def main():
 
     results = {}
     stubs = sys.argv[3].split(",") if len(sys.argv) > 3 else [
-        "none", "gather", "spread", "fwd", "sortg", "exg", "grad",
-        "segsum", "write"]
+        "none", "gather", "spread", "fwd", "sortg", "exg",
+        "gradsegsum", "write"]
     for stub in stubs:
         step = make_step(stub)
         state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))

@@ -344,11 +344,15 @@ def _fm_grad_segsum_kernel(subtile: int, bf16x2: bool, k: int,
         s0 = si * subtile
         rs0 = seg_smem[s0]
         rsl = seg_smem[s0 + subtile - 1]
-        local = seg_vmem[s0:s0 + subtile, :] - rs0            # (S, 1)
+        # seg/x stream as 1-D blocks (dense packed HBM layout; a (N, 1)
+        # column input would be lane-padded to 128 by XLA's tiling — a
+        # measured ~325 MB/step of pure padding traffic each at Criteo
+        # shapes). The (S,) -> (S, 1) relayout runs on-chip.
+        local = (seg_vmem[s0:s0 + subtile] - rs0).reshape(subtile, 1)
 
         vw = vw_ref[s0:s0 + subtile, :]                       # (S, k+1)
         ex = ex_ref[s0:s0 + subtile, :]                       # (S, k+2)
-        x = x_ref[s0:s0 + subtile, :]                         # (S, 1)
+        x = x_ref[s0:s0 + subtile].reshape(subtile, 1)        # (S, 1)
         v = vw[:, :k]
         w = vw[:, k:k + 1]
         s = ex[:, :k]
@@ -429,10 +433,10 @@ def _fm_grad_segsum_pallas(vw: jnp.ndarray, ex: jnp.ndarray, x: jnp.ndarray,
                          memory_space=pltpu.VMEM),            # vw_srt
             pl.BlockSpec((tile, k + 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),            # ex_srt
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),            # x (svals)
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),            # seg vector
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),            # x (svals) 1-D
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),            # seg 1-D
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -445,7 +449,7 @@ def _fm_grad_segsum_pallas(vw: jnp.ndarray, ex: jnp.ndarray, x: jnp.ndarray,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(seg, coef, vw, ex, x[:, None], seg[:, None])
+    )(seg, coef, vw, ex, x, seg)
     return out[:num_segments, :2 * k + 2]
 
 
