@@ -58,7 +58,9 @@ def _segsum_kernel(seg_smem, g_ref, seg_vmem, out_ref,
     r0 = seg_smem[0]
     rl = seg_smem[t - 1]
 
-    local = seg_vmem[...] - r0                                # (T, 1) i32
+    # seg streams as a 1-D block (dense HBM layout — a (N, 1) column
+    # would be lane-padded 128x by XLA tiling); relayout on-chip.
+    local = (seg_vmem[...] - r0).reshape(t, 1)                # (T, 1) i32
     g = g_ref[...]                                            # (T, W)
 
     # one-hot (slots x local-ranks): M2[i, j] = [local[i] == j]
@@ -109,8 +111,8 @@ def _segment_rowsum_pallas(g: jnp.ndarray, seg: jnp.ndarray,
                          memory_space=pltpu.SMEM),            # seg scalars
             pl.BlockSpec((tile, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),            # g tile
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),            # seg vector
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),            # seg 1-D
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -123,7 +125,7 @@ def _segment_rowsum_pallas(g: jnp.ndarray, seg: jnp.ndarray,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(seg, g, seg[:, None])
+    )(seg, g, seg)
     return out[:num_segments]
 
 
@@ -171,7 +173,8 @@ def _segsum_sq_kernel(subtile: int, bf16x2: bool,
         s0 = si * subtile
         rs0 = seg_smem[s0]
         rsl = seg_smem[s0 + subtile - 1]
-        local = seg_vmem[s0:s0 + subtile, :] - rs0            # (S, 1)
+        local = (seg_vmem[s0:s0 + subtile] - rs0
+                 ).reshape(subtile, 1)                        # (S, 1)
         g = g_all[s0:s0 + subtile, :]                         # (S, W)
         gg = jnp.concatenate(
             [g, g * g,
@@ -250,8 +253,8 @@ def _segment_rowsum_sq_pallas(g: jnp.ndarray, seg: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, w), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),            # seg 1-D
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -264,7 +267,7 @@ def _segment_rowsum_sq_pallas(g: jnp.ndarray, seg: jnp.ndarray,
                                        jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(seg, g, seg[:, None])
+    )(seg, g, seg)
     return out[:num_segments, :2 * w]
 
 
