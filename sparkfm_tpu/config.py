@@ -248,6 +248,12 @@ class MeshConfig:
     model: int = 1
     data_axis: str = "data"
     model_axis: str = "model"
+    # Sparse gradient exchange for the sharded SGD step
+    # (parallel/sharded_sgd.py): "auto" lets the trainer choose (global
+    # when host plans are on — backward comm independent of the data-axis
+    # size — else unique/dense by optimizer); "unique" | "global" |
+    # "dense" pin a strategy.
+    exchange: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -234,7 +234,9 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
     from sparkfm_tpu.parallel import multihost as _MH
     from sparkfm_tpu.parallel import sharded_sgd as _S
 
+    exchange_pref = "auto"
     if isinstance(mesh, MeshConfig):
+        exchange_pref = mesh.exchange
         mesh = _M.mesh_from_config(mesh)
     d_shards = mesh.shape[_M.DATA_AXIS]
     if sgd_cfg.batch_size % d_shards:
@@ -251,12 +253,22 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
     # aligned per-unique sums (comm independent of the data-axis size —
     # parallel/sharded_sgd.py module doc). Otherwise the per-shard unique
     # exchange (device dedup) or dense (adam/momentum) via "auto".
-    use_global = sgd_cfg.host_plan and unique
-    step_fn = _S.make_sharded_train_step(
-        pcfg, sgd_cfg, mesh, exchange="global" if use_global else "auto")
+    # MeshConfig.exchange pins a strategy explicitly.
+    if exchange_pref == "auto":
+        use_global = sgd_cfg.host_plan and unique
+        exchange = "global" if use_global else "auto"
+    else:
+        exchange = exchange_pref
+        use_global = exchange == "global"
+        if use_global and not sgd_cfg.host_plan:
+            raise ValueError("exchange='global' requires host_plan=True "
+                             "(it consumes a host dedup plan)")
+    step_fn = _S.make_sharded_train_step(pcfg, sgd_cfg, mesh,
+                                         exchange=exchange)
     score_fn = _S.make_sharded_score_fn(pcfg, mesh)
 
     plan_budget = plan_fill = None
+    stacked_budget = None
     if use_global:
         n_glob = sgd_cfg.batch_size * train.max_nnz
         # unique_budget=0 -> budget ladder on the global unique count
@@ -264,6 +276,11 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
         plan_budget = sgd_cfg.unique_budget or "ladder"
         plan_ladder_cap = _E.auto_budget(n_glob)
         plan_rung = [1]
+        plan_fill = pcfg.num_features - 1
+    elif exchange == "unique" and sgd_cfg.host_plan:
+        # Pinned per-shard unique exchange with host plans: stacked plans.
+        n_loc = (sgd_cfg.batch_size // d_shards) * train.max_nnz
+        stacked_budget = sgd_cfg.unique_budget or _E.auto_budget(n_loc)
         plan_fill = pcfg.num_features - 1
 
     history: List[Dict[str, float]] = []
@@ -298,6 +315,7 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
             else:
                 hp = _E.host_dedup(ids_full, plan_budget, plan_fill)
             plan = hp._replace(order=None, seg=None, svals=None, sex=None)
+        local_shards = d_shards
         if jax.process_count() > 1:
             sl = _MH.process_batch_slice(batch.batch_size)
             batch = dataclasses.replace(
@@ -308,6 +326,12 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
                            else batch.field_ids[sl]))
             if plan is not None:
                 plan = plan._replace(ranks=plan.ranks[sl])
+            local_shards = d_shards // jax.process_count()
+        if stacked_budget is not None:
+            plan = _E.stack_plans(np.asarray(batch.ids), local_shards,
+                                  budget=stacked_budget, fill=plan_fill)
+            return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,
+                                    plan_mode="stacked")
         return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,
                                 plan_mode="global")
 

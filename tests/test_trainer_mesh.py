@@ -79,3 +79,31 @@ def test_mesh_batch_size_divisibility_error():
     sgd_cfg = SGDConfig(batch_size=100, optimizer="adagrad", epochs=1)
     with pytest.raises(ValueError):
         trainer.train_sgd(cfg, sgd_cfg, ds, mesh=M.make_mesh(8, 1))
+
+
+def test_meshconfig_exchange_pinning():
+    """MeshConfig.exchange pins the sparse exchange; all three strategies
+    train to the same result through the one-call entry point."""
+    ds = synth.synth_movielens(num_users=40, num_items=50,
+                               num_examples=1200, seed=21)
+    coll = split_by_random(ds, 0.8, 0.2, seed=21)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=3,
+                   reg_v=0.01, seed=21)
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                        optimizer="adagrad", epochs=2,
+                        shuffle_each_epoch=False)
+    rmses = {}
+    for ex in ("auto", "global", "unique", "dense"):
+        res = trainer.train_sgd(cfg, sgd_cfg, coll.training, coll.test,
+                                mesh=MeshConfig(data=4, model=2,
+                                                exchange=ex))
+        rmses[ex] = res.history[-1]["eval_rmse"]
+    base = rmses["auto"]
+    for ex, r in rmses.items():
+        assert abs(r - base) < 1e-4, rmses
+
+    with pytest.raises(ValueError, match="host_plan"):
+        trainer.train_sgd(
+            cfg, SGDConfig(batch_size=256, host_plan=False),
+            coll.training, mesh=MeshConfig(data=4, model=2,
+                                           exchange="global"))
