@@ -64,6 +64,34 @@ def main():
 
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
+
+    if os.environ.get("BENCH_MODE") == "score":
+        # Serving-path throughput: models/fm.scores on the big table
+        # (dedup + sorted-hint unique gather route for >= 2^16 rows).
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+        score_fn = jax.jit(lambda p, ids, vals: fm_model.scores(
+            p, cfg, ids, vals))
+        rng = np.random.default_rng(0)
+        mk = lambda: jnp.asarray(((rng.zipf(1.3, size=(batch, nnz)).astype(
+            np.int64) * 2654435761) % buckets).astype(np.int32))
+        idss = [mk() for _ in range(8)]
+        vals = jnp.ones((batch, nnz), jnp.float32)
+        tiny = jax.jit(lambda x: x + 1)
+        y = tiny(jnp.float32(1.0)); _ = float(y)
+        t0 = time.perf_counter(); y = tiny(y); _ = float(y)
+        rpc = time.perf_counter() - t0
+        out = score_fn(params, idss[0], vals); _ = float(out[0])
+        acc = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(steps):
+            acc = acc + score_fn(params, idss[i % 8], vals)[0]
+        _ = float(acc)
+        dt = time.perf_counter() - t0 - rpc
+        print(json.dumps({
+            "metric": "criteo_logistic_fm_rank32_score_throughput_1chip",
+            "value": round(steps * batch / dt, 1),
+            "unit": "examples/sec", "vs_baseline": 0}))
+        return
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
                         optimizer=os.environ.get("BENCH_OPT", "adagrad"),
                         update_path=path, unique_budget=budget,

@@ -352,3 +352,45 @@ def test_global_exchange_requires_global_plan():
         is_leaf=lambda x: x is None)
     with pytest.raises(ValueError, match="global"):
         step(state, dataclasses.replace(b, plan=stacked))
+
+
+def test_global_exchange_groups_parity():
+    """Global exchange with per-group regularization matches the unique
+    exchange (groups ride _loss_sums_from_rows the same way)."""
+    import dataclasses
+    from sparkfm_tpu.ops import embedding as E
+
+    ds = synth.synth_movielens(num_users=50, num_items=60,
+                               num_examples=1024, seed=14)
+    F = ds.num_features
+    cfg = FMConfig(num_features=F, num_factors=4, seed=14,
+                   feature_groups=tuple([0] * 50 + [1] * (F - 50)),
+                   group_reg_w=(0.01, 0.1), group_reg_v=(0.02, 0.2))
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                        optimizer="adagrad", unique_budget=512)
+    mesh = M.make_mesh(2, 4)
+    finals = []
+    for exchange in ("global", "unique"):
+        state, pcfg = sharded_sgd.init_sharded_state(
+            cfg, mesh, key=jax.random.PRNGKey(15))
+        fill = pcfg.num_features - 1
+        step = sharded_sgd.make_sharded_train_step(pcfg, sgd_cfg, mesh,
+                                                   exchange=exchange)
+        for i, b in enumerate(batch_iterator(ds, 256, shuffle=False)):
+            if i == 3:
+                break
+            if exchange == "global":
+                hp = E.host_dedup(np.asarray(b.ids), 512, fill)
+                b = dataclasses.replace(b, plan=E.DedupBatch(
+                    uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+                    count=jnp.asarray(hp.count),
+                    overflow=jnp.asarray(hp.overflow),
+                    order=None, seg=None))
+            state, _ = step(state, b)
+        finals.append(_unshard(state))
+    np.testing.assert_allclose(np.asarray(finals[0].params.v),
+                               np.asarray(finals[1].params.v),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(finals[0].params.w),
+                               np.asarray(finals[1].params.w),
+                               rtol=1e-4, atol=1e-6)
