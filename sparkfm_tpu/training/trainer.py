@@ -33,8 +33,8 @@ log = logging.getLogger("sparkfm_tpu")
 
 def _eval_scores_fn(cfg: FMConfig):
     @jax.jit
-    def score_batch(params: FMParams, ids, vals, field_ids):
-        return fm_model.scores(params, cfg, ids, vals, field_ids)
+    def score_batch(params: FMParams, ids, vals, field_ids, plan=None):
+        return fm_model.scores(params, cfg, ids, vals, field_ids, plan=plan)
     return score_batch
 
 
@@ -42,12 +42,21 @@ def evaluate(params: FMParams, cfg: FMConfig, ds: SparseDataset,
              batch_size: int = 8192,
              score_fn=None) -> Dict[str, float]:
     """Full-dataset metrics. Regression: RMSE/MAE. Classification: AUC,
-    logloss, accuracy. Scores stream back to host once per batch."""
+    logloss, accuracy. Scores stream back to host once per batch.
+
+    Big plain-FM tables score through host ladder dedup plans (one tight
+    unique-row gather per batch, no device sorts) — the same input-
+    pipeline discipline as training."""
     if score_fn is None:
         score_fn = _eval_scores_fn(cfg)
+    dedup_budget = dedup_fill = None
+    if cfg.num_fields == 0 and cfg.num_features >= (1 << 16):
+        dedup_budget, dedup_fill = "ladder", 0
     all_scores: List[np.ndarray] = []
-    for b in batch_iterator(ds, batch_size, shuffle=False):
-        s = score_fn(params, b.ids, b.vals, b.field_ids)
+    for b in batch_iterator(ds, batch_size, shuffle=False,
+                            dedup_budget=dedup_budget,
+                            dedup_fill=dedup_fill):
+        s = score_fn(params, b.ids, b.vals, b.field_ids, b.plan)
         nvalid = int(np.sum(np.asarray(b.mask)))
         all_scores.append(np.asarray(s)[:nvalid])
     scores = np.concatenate(all_scores)

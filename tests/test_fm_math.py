@@ -141,3 +141,43 @@ def test_fm_scores_jit_and_grad():
     assert g.v.shape == p.v.shape
     assert np.isfinite(float(loss(p)))
     assert np.all(np.isfinite(np.asarray(g.v)))
+
+
+def test_scores_with_host_plan_exact():
+    """scores(plan=host ladder plan) == scores(no plan) bit-for-bit on the
+    same ids — the serving hot path (models/fm.scores plan= route)."""
+    import numpy as np
+    from sparkfm_tpu.config import FMConfig
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.ops import embedding as E
+
+    rng = np.random.default_rng(31)
+    F, B, L, K = 1 << 17, 64, 7, 8
+    cfg = FMConfig(num_features=F, num_factors=K, seed=31)
+    params = fm_model.init_params(cfg, jax.random.PRNGKey(31))
+    ids = rng.integers(0, F, (B, L)).astype(np.int32)
+    vals = rng.normal(size=(B, L)).astype(np.float32)
+
+    s_ref = np.asarray(fm_model.scores(
+        params, cfg, jnp.asarray(ids), jnp.asarray(vals)))
+
+    hp = E.host_dedup(ids, E.auto_budget(B * L), fill=0)
+    rung = E.ladder_budget(int(hp.count))
+    hp = hp._replace(uids=hp.uids[:rung])
+    plan = E.DedupBatch(
+        uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+        count=jnp.asarray(hp.count), overflow=jnp.asarray(hp.overflow),
+        order=None, seg=None)
+    s_plan = np.asarray(fm_model.scores(
+        params, cfg, jnp.asarray(ids), jnp.asarray(vals), plan=plan))
+    np.testing.assert_allclose(s_plan, s_ref, rtol=1e-6, atol=1e-6)
+
+    # predict_dataset / evaluate route plans automatically for big tables
+    from sparkfm_tpu.data.batching import SparseDataset
+    from sparkfm_tpu.training import trainer as T
+    ds = SparseDataset(ids=ids, vals=vals,
+                       y=rng.normal(size=(B,)).astype(np.float32),
+                       num_features=F)
+    m = T.evaluate(params, cfg, ds, batch_size=32)
+    direct_rmse = float(np.sqrt(np.mean(np.square(s_ref - ds.y))))
+    np.testing.assert_allclose(m["rmse"], direct_rmse, rtol=1e-5)
