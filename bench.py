@@ -15,6 +15,9 @@ that depend on the final step's full state (loss + a parameter), and the
 measured RPC latency of a trivial fetch is subtracted once.
 
 Env knobs (all optional):
+  BENCH_MODE      unset (default) = training throughput; "score" =
+                  serving throughput of models/fm.scores with host
+                  ladder plans (BENCH_HOSTPLAN=0: device-dedup fallback)
   BENCH_BUCKETS   feature buckets (default 2^22)
   BENCH_BATCH     batch size      (default 16384)
   BENCH_NNZ       actives/example (default 39, the Criteo field count)
