@@ -204,21 +204,31 @@ class DeepFMModel:
         return cls(params=params, cfg=cfg)
 
 
-def _parse_mesh(mesh):
-    """Accept None | Mesh | MeshConfig | "DxM" string, return Mesh|None."""
+def _parse_mesh(mesh, exchange: str = "auto"):
+    """Accept None | Mesh | MeshConfig | "DxM" string.
+
+    Returns a MeshConfig when one was given or an exchange preference must
+    ride along (the trainer reads MeshConfig.exchange — converting to a
+    raw Mesh here would silently drop it), else the Mesh as-is.
+    """
     if mesh is None:
         return None
     from jax.sharding import Mesh as _Mesh
 
     from sparkfm_tpu.config import MeshConfig
-    from sparkfm_tpu.parallel import mesh as _M
     if isinstance(mesh, _Mesh):
+        if exchange != "auto":
+            raise ValueError(
+                "exchange= with a raw jax Mesh is ambiguous — pass a "
+                "MeshConfig(data, model, exchange=...) or a 'DxM' string")
         return mesh
     if isinstance(mesh, MeshConfig):
-        return _M.mesh_from_config(mesh)
+        if exchange != "auto" and mesh.exchange != exchange:
+            mesh = dataclasses.replace(mesh, exchange=exchange)
+        return mesh
     if isinstance(mesh, str):
         d, m = (int(x) for x in mesh.lower().split("x"))
-        return _M.make_mesh(d, m)
+        return MeshConfig(data=d, model=m, exchange=exchange)
     raise ValueError(f"mesh must be None, Mesh, MeshConfig or 'DxM' string; "
                      f"got {mesh!r}")
 
@@ -262,7 +272,9 @@ class FM:
                  optimizer: str = "adagrad", num_fields: int = 0,
                  block_size: int = 4096,
                  eval_every: int = 1,
+                 update_path: str = "auto",
                  mesh=None,
+                 exchange: str = "auto",
                  model: str = "fm",
                  hidden: tuple = (128, 64),
                  feature_groups=None,
@@ -283,10 +295,15 @@ class FM:
         self.num_fields = num_fields
         self.block_size = block_size
         self.eval_every = eval_every
+        # How SGD batch rows touch the parameter tables
+        # (config.SGDConfig.update_path; auto picks hybrid/fused/dedup/
+        # direct by table size and model).
+        self.update_path = update_path
         # Device-mesh training (solver="sgd" only): a jax.sharding.Mesh, a
         # config.MeshConfig, or a "DATAxMODEL" string like "4x2". None =
-        # single device. See training.trainer.train_sgd(mesh=...).
-        self.mesh = _parse_mesh(mesh)
+        # single device. `exchange` pins the sharded sparse exchange
+        # (MeshConfig.exchange: auto|unique|global|dense).
+        self.mesh = _parse_mesh(mesh, exchange)
         # model: "fm" (default) or "deepfm" (FM heads + MLP tower; BASELINE
         # config 5). deepfm requires solver="sgd", num_fields set (slots
         # per example), and ignores the mesh (single-device for now).
@@ -391,7 +408,8 @@ class FM:
                 sgd_cfg = SGDConfig(learning_rate=self.learning_rate,
                                     optimizer=self.optimizer,
                                     batch_size=self.batch_size,
-                                    epochs=self.max_iter)
+                                    epochs=self.max_iter,
+                                    update_path=self.update_path)
                 res = _trainer.train_sgd_relational(
                     cfg, sgd_cfg, train, eval_ds, self.eval_every, key)
                 return FMModel(params=res.params, cfg=cfg,
@@ -421,7 +439,8 @@ class FM:
             sgd_cfg = SGDConfig(learning_rate=self.learning_rate,
                                 optimizer=self.optimizer,
                                 batch_size=self.batch_size,
-                                epochs=self.max_iter)
+                                epochs=self.max_iter,
+                                update_path=self.update_path)
             res = _trainer.train_sgd(cfg, sgd_cfg, train, eval_ds,
                                      self.eval_every, key,
                                      checkpoint_dir=checkpoint_dir,

@@ -137,7 +137,9 @@ def cmd_train(args) -> int:
             learning_rate=args.lr, batch_size=args.batch_size,
             optimizer=args.optimizer, num_fields=args.fields,
             eval_every=args.eval_every,
+            update_path=getattr(args, "update_path", "auto"),
             mesh=getattr(args, "mesh", None),
+            exchange=getattr(args, "exchange", "auto"),
             model=getattr(args, "model", "fm"),
             hidden=tuple(int(x) for x in
                          getattr(args, "hidden", "128,64").split(",")),
@@ -339,6 +341,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() first "
                         "(multi-host SPMD; every host runs this command)")
+    t.add_argument("--update-path", default="auto",
+                   choices=["auto", "direct", "dedup", "fused", "sorted",
+                            "hybrid"],
+                   help="SGD table-access path (auto: hybrid/fused/dedup/"
+                        "direct by table size and model)")
+    t.add_argument("--exchange", default="auto",
+                   choices=["auto", "unique", "global", "dense"],
+                   help="sharded sparse gradient exchange (with --mesh)")
     t.add_argument("--optimizer", default="adagrad",
                    choices=["adagrad", "sgd", "adam"])
     t.add_argument("--eval-every", type=int, default=1)

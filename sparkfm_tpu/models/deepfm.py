@@ -383,6 +383,10 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     from sparkfm_tpu.training.trainer import TrainResult
 
     if mesh is not None:
+        from sparkfm_tpu.config import MeshConfig
+        if isinstance(mesh, MeshConfig):
+            from sparkfm_tpu.parallel import mesh as _M
+            mesh = _M.mesh_from_config(mesh)
         return _train_deepfm_sharded(cfg, sgd_cfg, train, eval_ds,
                                      eval_every, key, mesh)
     params = init_params(cfg, key)

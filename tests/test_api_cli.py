@@ -237,3 +237,29 @@ def test_cli_predict_roundtrip(capsys, tmp_path):
     ref = FMModel.load(model_dir).predict_dataset(
         libfm.load_libfm(train_file))
     np.testing.assert_allclose(preds, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_facade_update_path_and_exchange_knobs():
+    """FM(update_path=..., mesh=..., exchange=...) thread through to the
+    trainer (the facade used to drop MeshConfig.exchange by eagerly
+    converting to a raw Mesh)."""
+    from sparkfm_tpu.api import FM, _parse_mesh
+    from sparkfm_tpu.config import MeshConfig
+    from sparkfm_tpu.data import synth
+    from sparkfm_tpu.data.split import split_by_random
+
+    mc = _parse_mesh("4x2", exchange="unique")
+    assert isinstance(mc, MeshConfig) and mc.exchange == "unique"
+    mc2 = _parse_mesh(MeshConfig(data=2, model=4), exchange="dense")
+    assert mc2.exchange == "dense"
+
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=800, seed=17)
+    coll = split_by_random(ds, 0.8, 0.2, seed=17)
+    m1 = FM(num_factors=2, solver="sgd", max_iter=1, batch_size=256,
+            update_path="dedup", seed=17).fit(coll.training)
+    m2 = FM(num_factors=2, solver="sgd", max_iter=1, batch_size=256,
+            mesh="4x2", exchange="unique", seed=17).fit(coll.training)
+    import numpy as np
+    assert np.all(np.isfinite(np.asarray(m1.params.v)))
+    assert np.all(np.isfinite(np.asarray(m2.params.v)))
