@@ -213,6 +213,65 @@ def stack_plans(ids, num_shards: int, budget: int, fill: int) -> DedupBatch:
         overflow=_np.asarray(over, bool), order=None, seg=None)
 
 
+def stack_hybrid_extras(ranks, vals, num_shards: int,
+                        u_cap: int = 0) -> Tuple:
+    """Per-data-shard sorted-backward extras for the GLOBAL exchange.
+
+    Given the GLOBAL plan's ranks (B, L) and the batch vals, split into
+    ``num_shards`` equal row chunks and, per shard, sort its slots by
+    global rank so the analytic FM backward (ops/pallas_segsum.py::
+    fm_grad_segsum) can run per shard on DENSE local ranks
+    (parallel/sharded_sgd.py "global" exchange, hybrid branch):
+
+      seg   (D, N_loc) — local dense ranks, sorted non-decreasing
+      svals (D, N_loc) — slot values in that order
+      sex   (D, N_loc) — shard-local example index per sorted slot
+      gmap  (D, U_cap) — local unique -> GLOBAL rank (the scatter-add
+                         map into the shared (U_g, 2k+2) accumulator);
+                         unused budget entries point at 0 and carry
+                         exact-zero rows, so they are harmless adds
+
+    u_cap=0 sizes the stack to the ladder rung above the max per-shard
+    unique count (uniform static shape across shards).
+    """
+    import numpy as _np
+    b, l = ranks.shape
+    assert b % num_shards == 0, (b, num_shards)
+    chunk = b // num_shards
+    per = []
+    max_u = 1
+    for d in range(num_shards):
+        gr = _np.asarray(ranks[d * chunk:(d + 1) * chunk],
+                         _np.int64).reshape(-1)
+        order = _np.argsort(gr, kind="stable")
+        sgr = gr[order]
+        boundary = _np.empty(len(sgr), bool)
+        boundary[0] = True
+        boundary[1:] = sgr[1:] != sgr[:-1]
+        seg = (_np.cumsum(boundary) - 1).astype(_np.int32)
+        u_d = int(seg[-1]) + 1
+        max_u = max(max_u, u_d)
+        guniq = sgr[boundary].astype(_np.int32)
+        sv = _np.asarray(vals[d * chunk:(d + 1) * chunk],
+                         _np.float32).reshape(-1)[order]
+        sex = (order // l).astype(_np.int32)
+        per.append((seg, sv, sex, guniq, u_d))
+    # u_cap is a MINIMUM (monotonic-rung discipline across batches, like
+    # batch_iterator's ladder): the stack is padded to at least the
+    # ladder rung above the max per-shard unique count.
+    u_cap = max(ladder_budget(max_u), u_cap)
+    segs, svs, sexs, gmaps = [], [], [], []
+    for seg, sv, sex, guniq, u_d in per:
+        gm = _np.zeros((u_cap,), _np.int32)
+        gm[:u_d] = guniq
+        segs.append(seg)
+        svs.append(sv)
+        sexs.append(sex)
+        gmaps.append(gm)
+    return (_np.stack(segs), _np.stack(svs), _np.stack(sexs),
+            _np.stack(gmaps), u_cap)
+
+
 class SortedPlan(NamedTuple):
     """Slot-sorted lookup plan (the ``update_path="sorted"`` layout).
 

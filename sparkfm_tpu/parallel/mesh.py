@@ -126,6 +126,21 @@ def batch_pspecs(has_mask: bool = True, has_fields: bool = False,
             count=P(),
             overflow=P(),
             order=None, seg=None)
+    elif plan_mode == "global_hybrid":
+        # global plan + per-shard sorted-backward extras
+        # (ops.embedding.stack_hybrid_extras): seg/svals/sex are the
+        # shard-sorted slot streams, `order` carries the (D, U_cap)
+        # local-unique -> global-rank scatter map (gmap).
+        from sparkfm_tpu.ops.embedding import DedupBatch
+        plan = DedupBatch(
+            uids=P(None),
+            ranks=P(DATA_AXIS, None),
+            count=P(),
+            overflow=P(),
+            order=P(DATA_AXIS, None),
+            seg=P(DATA_AXIS, None),
+            svals=P(DATA_AXIS, None),
+            sex=P(DATA_AXIS, None))
     elif plan_mode is not None:
         raise ValueError(f"unknown plan_mode={plan_mode!r}")
     return SparseBatch(

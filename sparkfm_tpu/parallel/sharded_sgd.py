@@ -470,14 +470,122 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
                "unique_overflow": overflow}
         return new_state, aux
 
-    batch_specs = M.batch_pspecs(has_mask=True, has_fields=ffm,
-                                 plan_mode="global")
-    sharded = shard_map(
-        step, mesh=mesh,
-        in_specs=(state_specs, batch_specs),
-        out_specs=(state_specs, aux_specs),
-        check_vma=False)
-    jitted = jax.jit(sharded, donate_argnums=(0,))
+    k = cfg.num_factors
+    classification = cfg.task == Task.CLASSIFICATION
+    hybrid_ok = (not ffm and cfg.feature_groups is None
+                 and jnp.dtype(cfg.compute_dtype) == jnp.float32
+                 and sgd_cfg.optimizer in ("adagrad", "sgd"))
+
+    def step_hybrid(state: SGDState, batch: SparseBatch):
+        """Analytic per-shard sorted backward (the single-chip hybrid
+        step's math, solvers/sgd_hybrid.py) feeding the global exchange:
+        each shard evaluates the closed-form FM gradient in locally
+        id-sorted order, reduces runs in fm_grad_segsum, scatter-adds its
+        (U_cap, 2k+2) local sums into the SHARED global rank space via
+        the host gmap, and ONE psum combines — no jax.grad, no
+        (B/D)*L-slot scatter accumulate."""
+        from sparkfm_tpu.ops import pallas_segsum as SS
+
+        p = state.params
+        rows_per_shard = p.w.shape[0]
+        ids = batch.ids                            # (B/D, L)
+        plan = batch.plan
+        uids = plan.uids                           # (U_g,) replicated
+        ranks = plan.ranks                         # (B/D, L) global ranks
+        count = plan.count
+        overflow = plan.overflow
+        budget = uids.shape[0]
+        seg_d = plan.seg[0]                        # (N_loc,) local block
+        svals_d = plan.svals[0]
+        sex_d = plan.sex[0]
+        gmap_d = plan.order[0]                     # (U_cap,)
+        u_cap = gmap_d.shape[0]
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(count, budget)
+
+        # ---- forward: psum'd unique rows + local spread (as step())
+        w_u = _gather_rows(p.w, uids, M.MODEL_AXIS)
+        v_u = _gather_rows(p.v, uids, M.MODEL_AXIS)
+        w_u = jnp.where(valid_u, w_u, 0.0)
+        v_u = jnp.where(valid_u[:, None], v_u, 0.0)
+        vw_u = jnp.concatenate([v_u, w_u[:, None]], axis=1)   # (U_g, k+1)
+
+        vals = batch.vals
+        vw_rows = vw_u[ranks]                                 # (B/D, L, k+1)
+        vx = vw_rows[..., :k] * vals[..., None]
+        s = jnp.sum(vx, axis=1)                               # (B/D, k)
+        ssq = jnp.sum(jnp.square(vx), axis=(1, 2))
+        score = 0.5 * (jnp.sum(jnp.square(s), axis=-1) - ssq)
+        if cfg.use_linear:
+            score = score + jnp.sum(vw_rows[..., k] * vals, axis=-1)
+        if cfg.use_bias:
+            score = score + p.w0
+
+        wt = (batch.mask.astype(jnp.float32) if batch.mask is not None
+              else jnp.ones_like(batch.y))
+        total = jax.lax.psum(jnp.sum(wt), M.DATA_AXIS)
+        denom_data = jnp.maximum(total, 1e-12)
+        denom_reg = jnp.maximum(total, 1.0)
+        if classification:
+            y_pm = jnp.where(batch.y > 0, 1.0, -1.0)
+            z = -y_pm * score
+            dsum = jnp.sum(jax.nn.softplus(z) * wt)
+            ds = -y_pm * jax.nn.sigmoid(z) * wt / denom_data
+        else:
+            err = score - batch.y
+            dsum = jnp.sum(jnp.square(err) * wt)
+            ds = 2.0 * err * wt / denom_data
+
+        # ---- per-shard analytic sorted backward
+        vw_loc = vw_u.at[gmap_d].get(mode="promise_in_bounds")  # (U_cap,k+1)
+        vw_srt = vw_loc.at[seg_d].get(
+            indices_are_sorted=True, mode="promise_in_bounds")  # (N_loc,)
+        ex_pack = jnp.concatenate(
+            [s, ds[:, None], wt[:, None]], axis=1)            # (B/D, k+2)
+        ex_srt = ex_pack[sex_d]
+        acc_loc = SS.fm_grad_segsum(
+            vw_srt, ex_srt, svals_d, seg_d, u_cap,
+            2.0 * cfg.reg_v / denom_reg, 2.0 * cfg.reg_w / denom_reg)
+        # unused U_cap rows are exact zeros (kernel masks past seg[-1]);
+        # their gmap entries point at rank 0 and add nothing.
+        acc = jnp.zeros((budget, 2 * k + 2), jnp.float32
+                        ).at[gmap_d].add(acc_loc)
+
+        # ---- exchange: ONE psum over `data` (shared global rank space)
+        acc = jax.lax.psum(acc, M.DATA_AXIS)
+
+        mine, lids = _own_mask_and_lid(uids, rows_per_shard, M.MODEL_AXIS)
+        acc = jnp.where(mine[:, None], acc, 0.0)
+        g_v_u, g_w_u = acc[:, :k], acc[:, k]
+        sq_v_u, sq_w_u = acc[:, k + 1:2 * k + 1], acc[:, 2 * k + 1]
+        if not cfg.use_linear:
+            g_w_u = jnp.zeros_like(g_w_u)
+            sq_w_u = jnp.zeros_like(sq_w_u)
+
+        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
+        w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
+                                   lids, g_w_u, sq_w_u)
+        v, sv = _unique_row_update(opt, lr, sgd_cfg, p.v, state.slot_v,
+                                   lids, g_v_u, sq_v_u)
+
+        if cfg.use_bias:
+            g_w0_glob = (jax.lax.psum(jnp.sum(ds), M.DATA_AXIS)
+                         + 2.0 * cfg.reg0 * p.w0)
+            w0, sw0, s2w0 = sgd_solver._dense_scalar_update(
+                opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
+                g_w0_glob, state.step)
+        else:
+            w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
+
+        loss = jax.lax.psum(dsum, M.DATA_AXIS) / denom_data
+        new_state = SGDState(
+            params=FMParams(w0=w0, w=w, v=v),
+            slot_w0=sw0, slot_w=sw, slot_v=sv,
+            slot2_w0=s2w0, slot2_w=state.slot2_w, slot2_v=state.slot2_v,
+            step=state.step + 1)
+        return new_state, {"loss": loss, "unique_count": count,
+                           "unique_overflow": overflow}
+
+    cache = {}
 
     def call(state, batch):
         if batch.plan is None or batch.plan.uids.ndim != 1:
@@ -486,12 +594,28 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
                 "whole global batch (uids shape (U_g,)); build it with "
                 "ops.embedding.host_dedup on the full id block, or use "
                 "exchange='unique' for stacked per-shard plans")
-        if batch.plan.order is not None:
-            import dataclasses as _dc
+        import dataclasses as _dc
+        has_hybrid = batch.plan.seg is not None
+        if has_hybrid and not hybrid_ok:
+            raise ValueError(
+                "global-exchange hybrid extras need plain FM, float32, "
+                "adagrad/sgd, no feature_groups — drop the extras "
+                "(stack_hybrid_extras) for this config")
+        if not has_hybrid and batch.plan.order is not None:
             batch = _dc.replace(
                 batch, plan=batch.plan._replace(order=None, seg=None,
                                                 svals=None, sex=None))
-        return jitted(state, batch)
+        if has_hybrid not in cache:
+            batch_specs = M.batch_pspecs(
+                has_mask=True, has_fields=ffm,
+                plan_mode="global_hybrid" if has_hybrid else "global")
+            sharded = shard_map(
+                step_hybrid if has_hybrid else step, mesh=mesh,
+                in_specs=(state_specs, batch_specs),
+                out_specs=(state_specs, aux_specs),
+                check_vma=False)
+            cache[has_hybrid] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[has_hybrid](state, batch)
 
     return call
 

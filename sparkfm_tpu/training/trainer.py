@@ -278,6 +278,7 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
 
     plan_budget = plan_fill = None
     stacked_budget = None
+    global_hybrid = False
     if use_global:
         n_glob = sgd_cfg.batch_size * train.max_nnz
         # unique_budget=0 -> budget ladder on the global unique count
@@ -286,6 +287,14 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
         plan_ladder_cap = _E.auto_budget(n_glob)
         plan_rung = [1]
         plan_fill = pcfg.num_features - 1
+        # Per-shard analytic sorted backward (the single-chip hybrid
+        # step's math) when the model/optimizer fit its restrictions:
+        # the host also emits shard-sorted extras (stack_hybrid_extras).
+        global_hybrid = (cfg.num_fields == 0
+                         and cfg.feature_groups is None
+                         and jnp.dtype(cfg.compute_dtype) == jnp.float32
+                         and sgd_cfg.optimizer in ("adagrad", "sgd"))
+        hybrid_cap = [1]
     elif exchange == "unique" and sgd_cfg.host_plan:
         # Pinned per-shard unique exchange with host plans: stacked plans.
         n_loc = (sgd_cfg.batch_size // d_shards) * train.max_nnz
@@ -341,8 +350,17 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
                                   budget=stacked_budget, fill=plan_fill)
             return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,
                                     plan_mode="stacked")
+        plan_mode = "global"
+        if plan is not None and global_hybrid:
+            seg, svals, sex, gmap, u_cap = _E.stack_hybrid_extras(
+                np.asarray(plan.ranks), np.asarray(batch.vals),
+                local_shards, u_cap=hybrid_cap[0])
+            if u_cap > hybrid_cap[0]:
+                hybrid_cap[0] = u_cap
+            plan = plan._replace(order=gmap, seg=seg, svals=svals, sex=sex)
+            plan_mode = "global_hybrid"
         return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,
-                                plan_mode="global")
+                                plan_mode=plan_mode)
 
     n_examples = 0
     t0 = time.perf_counter()

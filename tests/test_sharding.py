@@ -394,3 +394,92 @@ def test_global_exchange_groups_parity():
     np.testing.assert_allclose(np.asarray(finals[0].params.w),
                                np.asarray(finals[1].params.w),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_global_hybrid_extras_match_plain_global():
+    """The per-shard analytic sorted backward (global exchange, hybrid
+    extras from stack_hybrid_extras) computes the same update as the
+    jax.grad-based plain global exchange."""
+    import dataclasses
+    from sparkfm_tpu.ops import embedding as E
+
+    ds = synth.synth_ctr(num_examples=1024, num_fields=5, num_buckets=512,
+                         seed=19)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                   task=Task.CLASSIFICATION, reg_w=1e-4, reg_v=1e-4,
+                   seed=19)
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                        optimizer="adagrad", unique_budget=512)
+    for mesh_shape in ((4, 2), (2, 4)):
+        mesh = M.make_mesh(*mesh_shape)
+        d = mesh.shape[M.DATA_AXIS]
+        finals, losses = [], []
+        for hybrid in (True, False):
+            state, pcfg = sharded_sgd.init_sharded_state(
+                cfg, mesh, key=jax.random.PRNGKey(20))
+            fill = pcfg.num_features - 1
+            step = sharded_sgd.make_sharded_train_step(
+                pcfg, sgd_cfg, mesh, exchange="global")
+            ls = []
+            for i, b in enumerate(batch_iterator(ds, 256, shuffle=False)):
+                if i == 3:
+                    break
+                hp = E.host_dedup(np.asarray(b.ids), 512, fill,
+                                  vals=np.asarray(b.vals))
+                if hybrid:
+                    seg, sv, sex, gmap, _ = E.stack_hybrid_extras(
+                        hp.ranks, np.asarray(b.vals), d)
+                    plan = E.DedupBatch(
+                        uids=jnp.asarray(hp.uids),
+                        ranks=jnp.asarray(hp.ranks),
+                        count=jnp.asarray(hp.count),
+                        overflow=jnp.asarray(hp.overflow),
+                        order=jnp.asarray(gmap), seg=jnp.asarray(seg),
+                        svals=jnp.asarray(sv), sex=jnp.asarray(sex))
+                else:
+                    plan = E.DedupBatch(
+                        uids=jnp.asarray(hp.uids),
+                        ranks=jnp.asarray(hp.ranks),
+                        count=jnp.asarray(hp.count),
+                        overflow=jnp.asarray(hp.overflow),
+                        order=None, seg=None)
+                b2 = dataclasses.replace(b, plan=plan)
+                state, aux = step(state, b2)
+                ls.append(float(aux["loss"]))
+            finals.append(_unshard(state))
+            losses.append(ls)
+        np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(finals[0].params.v),
+                                   np.asarray(finals[1].params.v),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(finals[0].params.w),
+                                   np.asarray(finals[1].params.w),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(finals[0].slot_v),
+                                   np.asarray(finals[1].slot_v),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_global_hybrid_end_to_end():
+    """train_sgd(mesh=...) auto-builds hybrid extras for eligible configs
+    and matches the pinned-unique exchange to the same quality."""
+    from sparkfm_tpu.config import MeshConfig
+    from sparkfm_tpu.data.split import split_by_random
+    from sparkfm_tpu.training import trainer
+
+    ds = synth.synth_movielens(num_users=50, num_items=60,
+                               num_examples=1600, seed=23)
+    coll = split_by_random(ds, 0.8, 0.2, seed=23)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                   reg_v=0.01, seed=23)
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                        optimizer="adagrad", epochs=2,
+                        shuffle_each_epoch=False)
+    res_g = trainer.train_sgd(cfg, sgd_cfg, coll.training, coll.test,
+                              mesh=MeshConfig(data=4, model=2))
+    res_u = trainer.train_sgd(cfg, sgd_cfg, coll.training, coll.test,
+                              mesh=MeshConfig(data=4, model=2,
+                                              exchange="unique"))
+    rg = res_g.history[-1]["eval_rmse"]
+    ru = res_u.history[-1]["eval_rmse"]
+    assert abs(rg - ru) < 1e-3, (rg, ru)
