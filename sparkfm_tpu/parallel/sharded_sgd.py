@@ -36,6 +36,10 @@ Three exchange strategies (``make_sharded_train_step(..., exchange=...)``):
     round-2 review flagged) collapses to ONE psum (ring comm ~2·U_g·W,
     independent of D; U_g grows sublinearly in global batch under
     power-law ids). The trainer uses this whenever host plans are on.
+    With per-shard sorted extras in the plan (stack_hybrid_extras), the
+    local reduce is the single-chip hybrid step's analytic sorted
+    backward in the fm_grad_segsum kernel instead of jax.grad + a
+    (B/D)·L-slot scatter-add (auto for plain-FM f32 adagrad/sgd).
   * ``"dense"`` — the simple masked-psum of full slot-row tensors +
     all_gather of slot grads. Comm scales with B·L. Kept for adam/momentum
     (their slot updates don't decompose into cross-shard adds) and as the
