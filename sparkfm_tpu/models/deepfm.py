@@ -473,14 +473,31 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     step_fn = SD.make_sharded_train_step(pcfg, sgd_cfg, mesh)
     score_fn = SD.make_sharded_score(pcfg, mesh)
 
-    def lift(batch):
-        return MH.global_batch(mesh, batch, has_fields=False)
+    # Host GLOBAL dedup plans (ladder-sized): the sharded step's backward
+    # becomes one psum of aligned per-unique sums instead of an
+    # all_gather (parallel/sharded_sgd.py "global" exchange).
+    from sparkfm_tpu.ops import embedding as _E
+    use_plan = sgd_cfg.host_plan
+    plan_cap = _E.auto_budget(sgd_cfg.batch_size * train.max_nnz)
+    plan_rung = [1]
+    plan_fill = pcfg.fm.num_features - 1
+
+    def lift(batch, with_plan=True):
+        plan = None
+        if use_plan and with_plan:
+            hp = _E.host_dedup(np.asarray(batch.ids), plan_cap, plan_fill)
+            plan_rung[0] = max(plan_rung[0], _E.ladder_budget(
+                int(hp.count), cap=plan_cap))
+            plan = hp._replace(uids=hp.uids[:plan_rung[0]], order=None,
+                               seg=None, svals=None, sex=None)
+        return MH.global_batch(mesh, batch, has_fields=False, plan=plan,
+                               plan_mode="global")
 
     def eval_metrics(params, ds):
         outs = []
         for b in batch_iterator(ds, sgd_cfg.batch_size, shuffle=False):
             nv = int(np.sum(np.asarray(b.mask)))
-            gb = lift(b)
+            gb = lift(b, with_plan=False)   # scoring takes no plan
             s = score_fn(params, gb.ids, gb.vals)
             outs.append(np.asarray(MH.collect(s))[:nv])
         s = np.concatenate(outs)

@@ -95,14 +95,22 @@ def make_sharded_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig,
     specs = state_pspecs(cfg)
     aux_specs = {"loss": P(), "unique_count": P(), "unique_overflow": P()}
 
-    def step(state, batch: SparseBatch):
+    def make_step(plan_kind):
+      def step(state, batch: SparseBatch):
         p: DeepFMParams = state["params"]
         slots = state["slots"]
         rows_per_shard = p.fm.w.shape[0]
         ids = batch.ids                              # (B/D, L)
         n_loc = ids.shape[0] * ids.shape[1]
 
-        if batch.plan is not None:
+        if plan_kind == "global":
+            # one host plan over the whole global batch: uids replicated,
+            # ranks in the SHARED unique space -> backward is one psum
+            # (parallel/sharded_sgd.py "global" exchange)
+            uids, ranks = batch.plan.uids, batch.plan.ranks
+            count, overflow = batch.plan.count, batch.plan.overflow
+            budget = uids.shape[0]
+        elif plan_kind == "stacked":
             uids, ranks = batch.plan.uids[0], batch.plan.ranks
             count, overflow = batch.plan.count[0], batch.plan.overflow[0]
             budget = uids.shape[0]
@@ -157,10 +165,16 @@ def make_sharded_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig,
             [gv, gw, jnp.square(gv), jnp.square(gw)], axis=-1)
         acc = jnp.zeros((budget, 2 * k + 2), packed.dtype
                         ).at[ranks.reshape(-1)].add(packed)
-        uids_all = jax.lax.all_gather(uids, M.DATA_AXIS, tiled=True)
-        acc_all = jax.lax.all_gather(acc, M.DATA_AXIS, tiled=True)
-        mine, lids = _own_mask_and_lid(uids_all, rows_per_shard,
-                                       M.MODEL_AXIS)
+        if plan_kind == "global":
+            # aligned rank space -> ONE psum; comm independent of D
+            acc_all = jax.lax.psum(acc, M.DATA_AXIS)
+            mine, lids = _own_mask_and_lid(uids, rows_per_shard,
+                                           M.MODEL_AXIS)
+        else:
+            uids_all = jax.lax.all_gather(uids, M.DATA_AXIS, tiled=True)
+            acc_all = jax.lax.all_gather(acc, M.DATA_AXIS, tiled=True)
+            mine, lids = _own_mask_and_lid(uids_all, rows_per_shard,
+                                           M.MODEL_AXIS)
         acc_all = jnp.where(mine[:, None], acc_all, 0.0)
 
         lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
@@ -197,26 +211,40 @@ def make_sharded_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig,
             "slots": {"w0": sw0, "w": sw, "v": sv,
                       "mw": tuple(smw), "mb": tuple(smb)},
         }
-        aux = {"loss": jax.lax.psum(dsum, M.DATA_AXIS)
-               / jnp.maximum(total, 1.0),
-               "unique_count": jax.lax.pmax(count, M.DATA_AXIS),
-               "unique_overflow": jax.lax.pmax(
-                   overflow.astype(jnp.int32), M.DATA_AXIS) > 0}
+        if plan_kind == "global":
+            aux = {"loss": jax.lax.psum(dsum, M.DATA_AXIS)
+                   / jnp.maximum(total, 1.0),
+                   "unique_count": count, "unique_overflow": overflow}
+        else:
+            aux = {"loss": jax.lax.psum(dsum, M.DATA_AXIS)
+                   / jnp.maximum(total, 1.0),
+                   "unique_count": jax.lax.pmax(count, M.DATA_AXIS),
+                   "unique_overflow": jax.lax.pmax(
+                       overflow.astype(jnp.int32), M.DATA_AXIS) > 0}
         return new_state, aux
+
+      return step
 
     cache = {}
 
     def call(state, batch):
-        has_plan = batch.plan is not None
-        if has_plan not in cache:
-            batch_specs = M.batch_pspecs(has_mask=True, has_fields=False,
-                                         has_plan=has_plan)
-            sharded = shard_map(step, mesh=mesh,
+        if batch.plan is None:
+            plan_kind = "none"
+        elif batch.plan.uids.ndim == 1:
+            plan_kind = "global"
+        else:
+            plan_kind = "stacked"
+        if plan_kind not in cache:
+            batch_specs = M.batch_pspecs(
+                has_mask=True, has_fields=False,
+                plan_mode={"none": None, "stacked": "stacked",
+                           "global": "global"}[plan_kind])
+            sharded = shard_map(make_step(plan_kind), mesh=mesh,
                                 in_specs=(specs, batch_specs),
                                 out_specs=(specs, aux_specs),
                                 check_vma=False)
-            cache[has_plan] = jax.jit(sharded, donate_argnums=(0,))
-        return cache[has_plan](state, batch)
+            cache[plan_kind] = jax.jit(sharded, donate_argnums=(0,))
+        return cache[plan_kind](state, batch)
 
     return call
 

@@ -6,6 +6,7 @@ the tower is data-parallel with psum'd grads.
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -115,3 +116,50 @@ def test_facade_deepfm_on_mesh_end_to_end():
     # scoring path (replicated, trimmed params) still works off-mesh
     s = model.predict_dataset(ds)
     assert np.isfinite(s).all()
+
+
+def test_deepfm_global_plan_matches_device_dedup():
+    """Sharded DeepFM with a global host plan (backward = one psum)
+    matches the device-dedup per-shard exchange (backward all_gather)."""
+    import dataclasses
+
+    from sparkfm_tpu.ops import embedding as E
+
+    ds = synth.synth_ctr(num_examples=1024, num_fields=5, num_buckets=256,
+                         seed=27)
+    cfg = DF.DeepFMConfig(
+        fm=FMConfig(num_features=ds.num_features, num_factors=4,
+                    num_fields=5, task=Task.CLASSIFICATION,
+                    reg_w=1e-4, reg_v=1e-4, seed=27),
+        hidden=(16,))
+    sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
+                        optimizer="adagrad", unique_budget=256)
+    mesh = M.make_mesh(4, 2)
+    finals, losses = [], []
+    for use_global in (True, False):
+        state, pcfg = SD.init_sharded_state(cfg, mesh,
+                                            jax.random.PRNGKey(28))
+        fill = pcfg.fm.num_features - 1
+        step = SD.make_sharded_train_step(pcfg, sgd_cfg, mesh)
+        ls = []
+        for i, b in enumerate(batch_iterator(ds, 256, shuffle=False)):
+            if i == 3:
+                break
+            if use_global:
+                hp = E.host_dedup(np.asarray(b.ids), 256, fill)
+                plan = E.DedupBatch(
+                    uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+                    count=jnp.asarray(hp.count),
+                    overflow=jnp.asarray(hp.overflow),
+                    order=None, seg=None)
+                b = dataclasses.replace(b, plan=plan)
+            state, aux = step(state, b)
+            assert not bool(aux["unique_overflow"])
+            ls.append(float(aux["loss"]))
+        finals.append(jax.tree_util.tree_map(np.asarray, state["params"]))
+        losses.append(ls)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    np.testing.assert_allclose(finals[0].fm.v, finals[1].fm.v,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(finals[0].mlp_w[0], finals[1].mlp_w[0],
+                               rtol=1e-4, atol=1e-6)
