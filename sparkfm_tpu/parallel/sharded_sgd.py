@@ -53,8 +53,6 @@ psum/all_gather to ICI collectives on a real slice.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map

@@ -41,7 +41,6 @@ import jax.numpy as jnp
 
 from sparkfm_tpu.config import FMConfig, SGDConfig, Task
 from sparkfm_tpu.data.batching import SparseBatch
-from sparkfm_tpu.ops import embedding as E
 from sparkfm_tpu.ops import pallas_rowio as PR
 from sparkfm_tpu.ops import pallas_segsum as SS
 from sparkfm_tpu.solvers import sgd as sgd_solver
