@@ -57,8 +57,13 @@ class FMModel:
         for b in batch_iterator(ds, batch_size, shuffle=False,
                                 dedup_budget=dedup_budget,
                                 dedup_fill=dedup_fill):
+            plan = b.plan
+            if plan is not None and bool(plan.overflow):
+                # capped ladder plan overflowed: aliased rows would score
+                # wrong — use exact scoring for this batch (ADVICE r3)
+                plan = None
             p = fm_core.predict(self.params, self.cfg, b.ids, b.vals,
-                                b.field_ids, plan=b.plan)
+                                b.field_ids, plan=plan)
             nvalid = int(np.sum(np.asarray(b.mask)))
             outs.append(np.asarray(p)[:nvalid])
         return np.concatenate(outs) if outs else np.zeros((0,))

@@ -384,11 +384,16 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
 
     if mesh is not None:
         from sparkfm_tpu.config import MeshConfig
+        exchange = "auto"
         if isinstance(mesh, MeshConfig):
+            # honor the exchange pin (converting to a raw Mesh here used
+            # to silently drop it — ADVICE r3 low)
+            exchange = mesh.exchange
             from sparkfm_tpu.parallel import mesh as _M
             mesh = _M.mesh_from_config(mesh)
         return _train_deepfm_sharded(cfg, sgd_cfg, train, eval_ds,
-                                     eval_every, key, mesh)
+                                     eval_every, key, mesh,
+                                     exchange=exchange)
     params = init_params(cfg, key)
     state = init_state(params)
     path = sgd_cfg.update_path
@@ -455,9 +460,23 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
 
 
 def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
-                          eval_ds, eval_every: int, key, mesh):
+                          eval_ds, eval_every: int, key, mesh,
+                          exchange: str = "auto"):
     """Sharded DeepFM loop: parallel/sharded_deepfm.py step over the
-    (data, model) mesh, per-host batch slices via parallel/multihost.py."""
+    (data, model) mesh, per-host batch slices via parallel/multihost.py.
+
+    exchange (MeshConfig.exchange, honored-or-rejected):
+      * "auto"   — global host plans when host_plan, else per-shard
+                   device dedup (the unique exchange without plans)
+      * "global" — one host plan over the global batch (requires
+                   host_plan=True)
+      * "unique" — per-shard plans: stacked host plans when host_plan,
+                   else device dedup
+      * "dense"  — rejected: DeepFM's table updates always go through the
+                   unique-row machinery (adam/momentum are rejected by
+                   _check_deepfm_optimizer long before this).
+    """
+    import logging
     import time
 
     import numpy as np
@@ -468,6 +487,21 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     from sparkfm_tpu.parallel import multihost as MH
     from sparkfm_tpu.parallel import sharded_deepfm as SD
     from sparkfm_tpu.training.trainer import TrainResult
+
+    log = logging.getLogger("sparkfm_tpu")
+    if exchange not in ("auto", "global", "unique"):
+        raise ValueError(
+            f"sharded DeepFM supports exchange auto/global/unique, got "
+            f"{exchange!r} (dense slot exchange does not apply: DeepFM "
+            "table updates are per-unique-row)")
+    if exchange == "global" and not sgd_cfg.host_plan:
+        raise ValueError("exchange='global' requires host_plan=True "
+                         "(it consumes a host dedup plan)")
+    mode = exchange
+    if mode == "auto":
+        mode = "global" if sgd_cfg.host_plan else "unique"
+    log.info("mesh path (deepfm): exchange=%s%s", mode,
+             "" if sgd_cfg.host_plan else " (device dedup, no host plans)")
 
     state, pcfg = SD.init_sharded_state(cfg, mesh, key)
     step_fn = SD.make_sharded_train_step(pcfg, sgd_cfg, mesh)
@@ -481,17 +515,25 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     plan_cap = _E.auto_budget(sgd_cfg.batch_size * train.max_nnz)
     plan_rung = [1]
     plan_fill = pcfg.fm.num_features - 1
+    d_shards = mesh.shape["data"]
+    stacked_budget = _E.auto_budget(
+        (sgd_cfg.batch_size // d_shards) * train.max_nnz)
 
     def lift(batch, with_plan=True):
         plan = None
-        if use_plan and with_plan:
+        plan_mode = "global"
+        if with_plan and use_plan and mode == "global":
             hp = _E.host_dedup(np.asarray(batch.ids), plan_cap, plan_fill)
             plan_rung[0] = max(plan_rung[0], _E.ladder_budget(
                 int(hp.count), cap=plan_cap))
             plan = hp._replace(uids=hp.uids[:plan_rung[0]], order=None,
                                seg=None, svals=None, sex=None)
+        elif with_plan and use_plan and mode == "unique":
+            plan = _E.stack_plans(np.asarray(batch.ids), d_shards,
+                                  budget=stacked_budget, fill=plan_fill)
+            plan_mode = "stacked"
         return MH.global_batch(mesh, batch, has_fields=False, plan=plan,
-                               plan_mode="global")
+                               plan_mode=plan_mode)
 
     def eval_metrics(params, ds):
         outs = []

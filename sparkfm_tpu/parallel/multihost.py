@@ -96,14 +96,17 @@ def global_batch(mesh: Mesh, batch, has_fields: bool = False, plan=None,
     per host alongside ids (plan_mode="global", the global exchange:
     uids/count/overflow replicated — every process must supply identical
     arrays, which the same-seed same-global-batch input discipline
-    guarantees).
+    guarantees). plan_mode="global_hybrid" additionally lifts the
+    per-data-shard sorted-backward extras (order=gmap/seg/svals/sex from
+    ops.embedding.stack_hybrid_extras) that parallel.sharded_sgd's
+    step_hybrid consumes — they shard over `data` like stacked rows.
     """
     from sparkfm_tpu.data.batching import SparseBatch
     specs = M.batch_pspecs(has_mask=batch.mask is not None,
                            has_fields=has_fields,
                            plan_mode=plan_mode if plan is not None else None)
-    lift = lambda x, s: None if x is None else host_local_to_global(
-        mesh, s, np.asarray(x))
+    lift = lambda x, s: None if x is None or s is None \
+        else host_local_to_global(mesh, s, np.asarray(x))
     lifted_plan = None
     if plan is not None:
         from sparkfm_tpu.ops.embedding import DedupBatch
@@ -112,7 +115,10 @@ def global_batch(mesh: Mesh, batch, has_fields: bool = False, plan=None,
             ranks=lift(plan.ranks, specs.plan.ranks),
             count=lift(plan.count, specs.plan.count),
             overflow=lift(plan.overflow, specs.plan.overflow),
-            order=None, seg=None)
+            order=lift(plan.order, specs.plan.order),
+            seg=lift(plan.seg, specs.plan.seg),
+            svals=lift(plan.svals, specs.plan.svals),
+            sex=lift(plan.sex, specs.plan.sex))
     return SparseBatch(
         ids=lift(batch.ids, specs.ids),
         vals=lift(batch.vals, specs.vals),

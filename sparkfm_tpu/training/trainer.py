@@ -56,7 +56,17 @@ def evaluate(params: FMParams, cfg: FMConfig, ds: SparseDataset,
     for b in batch_iterator(ds, batch_size, shuffle=False,
                             dedup_budget=dedup_budget,
                             dedup_fill=dedup_fill):
-        s = score_fn(params, b.ids, b.vals, b.field_ids, b.plan)
+        plan = b.plan
+        if plan is not None and bool(plan.overflow):
+            # Ladder plans cap at auto_budget(n_slots) <= 2^18; a batch
+            # with more distinct ids would alias rows and score WRONG.
+            # Fall back to exact dense/device scoring for this batch
+            # (ADVICE r3 medium).
+            log.warning("eval batch overflowed the dedup-plan budget "
+                        "(%d uniques > %d); scoring it exactly without "
+                        "a plan", int(plan.count), plan.uids.shape[0])
+            plan = None
+        s = score_fn(params, b.ids, b.vals, b.field_ids, plan)
         nvalid = int(np.sum(np.asarray(b.mask)))
         all_scores.append(np.asarray(s)[:nvalid])
     scores = np.concatenate(all_scores)
@@ -295,11 +305,30 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
                          and jnp.dtype(cfg.compute_dtype) == jnp.float32
                          and sgd_cfg.optimizer in ("adagrad", "sgd"))
         hybrid_cap = [1]
+        if global_hybrid:
+            log.info("mesh path: exchange=global backward=hybrid "
+                     "(analytic sorted segsum per shard, one psum)")
+        else:
+            why = ("ffm" if cfg.num_fields > 0
+                   else "feature_groups" if cfg.feature_groups is not None
+                   else "compute_dtype=%s" % cfg.compute_dtype
+                   if jnp.dtype(cfg.compute_dtype) != jnp.float32
+                   else "optimizer=%s" % sgd_cfg.optimizer)
+            log.info("mesh path: exchange=global backward=jax.grad "
+                     "(hybrid ineligible: %s)", why)
     elif exchange == "unique" and sgd_cfg.host_plan:
         # Pinned per-shard unique exchange with host plans: stacked plans.
         n_loc = (sgd_cfg.batch_size // d_shards) * train.max_nnz
         stacked_budget = sgd_cfg.unique_budget or _E.auto_budget(n_loc)
         plan_fill = pcfg.num_features - 1
+        log.info("mesh path: exchange=unique (stacked host plans) "
+                 "backward=jax.grad")
+    else:
+        resolved = exchange if exchange != "auto" else (
+            "unique" if unique else "dense")
+        log.info("mesh path: exchange=%s (device dedup) backward=jax.grad"
+                 if resolved == "unique" else
+                 "mesh path: exchange=%s backward=jax.grad", resolved)
 
     history: List[Dict[str, float]] = []
     start_epoch = 0
@@ -320,6 +349,7 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
         # the globally sharded batch (make_array_from_process_local_data
         # assembles the rest). Single-process: the slice is the whole batch.
         plan = None
+        extras = None
         if plan_budget is not None:
             # Global plan: dedup the FULL global id block (identical on
             # every process by the same-seed discipline) BEFORE slicing;
@@ -333,6 +363,19 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
             else:
                 hp = _E.host_dedup(ids_full, plan_budget, plan_fill)
             plan = hp._replace(order=None, seg=None, svals=None, sex=None)
+            if global_hybrid:
+                # Hybrid extras over the FULL global batch split into ALL
+                # d_shards chunks — never from a process-local slice: the
+                # u_cap rung must be identical on every process, or
+                # make_array_from_process_local_data sees inconsistent
+                # global shapes for gmap/seg/svals/sex (ADVICE r3 high).
+                # Each process keeps only its own shard rows below.
+                seg, svals, sex, gmap, u_cap = _E.stack_hybrid_extras(
+                    np.asarray(hp.ranks), np.asarray(batch.vals),
+                    d_shards, u_cap=hybrid_cap[0])
+                if u_cap > hybrid_cap[0]:
+                    hybrid_cap[0] = u_cap
+                extras = (gmap, seg, svals, sex)
         local_shards = d_shards
         if jax.process_count() > 1:
             sl = _MH.process_batch_slice(batch.batch_size)
@@ -345,18 +388,19 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
             if plan is not None:
                 plan = plan._replace(ranks=plan.ranks[sl])
             local_shards = d_shards // jax.process_count()
+            if extras is not None:
+                # this process's rows of the (D, ...) shard-stacked extras
+                ssl = slice(jax.process_index() * local_shards,
+                            (jax.process_index() + 1) * local_shards)
+                extras = tuple(x[ssl] for x in extras)
         if stacked_budget is not None:
             plan = _E.stack_plans(np.asarray(batch.ids), local_shards,
                                   budget=stacked_budget, fill=plan_fill)
             return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,
                                     plan_mode="stacked")
         plan_mode = "global"
-        if plan is not None and global_hybrid:
-            seg, svals, sex, gmap, u_cap = _E.stack_hybrid_extras(
-                np.asarray(plan.ranks), np.asarray(batch.vals),
-                local_shards, u_cap=hybrid_cap[0])
-            if u_cap > hybrid_cap[0]:
-                hybrid_cap[0] = u_cap
+        if extras is not None:
+            gmap, seg, svals, sex = extras
             plan = plan._replace(order=gmap, seg=seg, svals=svals, sex=sex)
             plan_mode = "global_hybrid"
         return _MH.global_batch(mesh, batch, has_fields=ffm, plan=plan,

@@ -618,3 +618,47 @@ def test_batch_iterator_ladder_plans():
         rungs.append(u)
     assert rungs == sorted(rungs), rungs          # monotonic
     assert rungs[0] < rungs[-1]                   # actually grew
+
+
+def test_eval_scoring_exact_on_plan_overflow(monkeypatch):
+    """Ladder plans are capped (auto_budget cap); a batch with more
+    distinct ids than the cap overflows and host_dedup aliases the excess
+    ranks onto the last slot — scoring through such a plan is WRONG.
+    evaluate/predict_dataset must detect plan.overflow and fall back to
+    exact plan-free scoring for that batch (ADVICE r3 medium)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparkfm_tpu.api import FMModel
+    from sparkfm_tpu.config import FMConfig
+    from sparkfm_tpu.data.batching import SparseDataset
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.training import trainer
+
+    F = 1 << 16   # big-table threshold: the ladder branch activates
+    cfg = FMConfig(num_features=F, num_factors=4, seed=0)
+    params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    n, L = 64, 6
+    ids = rng.choice(F, size=(n, L), replace=False).reshape(n, L) \
+        .astype(np.int32)                       # all-distinct ids
+    vals = rng.normal(size=(n, L)).astype(np.float32)
+    ds = SparseDataset(ids=ids, vals=vals,
+                       y=rng.normal(size=(n,)).astype(np.float32),
+                       num_features=F)
+
+    # Exact reference scores (no plan anywhere).
+    exact = np.asarray(fm_model.scores(
+        params, cfg, jnp.asarray(ids), jnp.asarray(vals)))
+
+    # Force a tiny plan cap so every batch overflows its ladder plan.
+    monkeypatch.setattr(E, "auto_budget",
+                        lambda n_slots, cap=1 << 18: 8)
+    m = FMModel(params=params, cfg=cfg)
+    pred = m.predict_dataset(ds, batch_size=32)
+    np.testing.assert_allclose(pred, exact, rtol=1e-5, atol=1e-6)
+
+    ev = trainer.evaluate(params, cfg, ds, batch_size=32)
+    want_rmse = float(np.sqrt(np.mean((exact - ds.y) ** 2)))
+    assert abs(ev["rmse"] - want_rmse) < 1e-5

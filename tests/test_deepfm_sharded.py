@@ -163,3 +163,28 @@ def test_deepfm_global_plan_matches_device_dedup():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(finals[0].mlp_w[0], finals[1].mlp_w[0],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_deepfm_mesh_exchange_honored_or_rejected():
+    """MeshConfig.exchange must not be silently dropped by the DeepFM
+    sharded path (ADVICE r3 low): dense -> rejected; unique -> trains
+    through stacked plans to the same quality as the global default."""
+    import pytest
+
+    from sparkfm_tpu.api import FM
+    from sparkfm_tpu.config import MeshConfig
+
+    ds = synth.synth_ctr(num_examples=768, num_fields=4, num_buckets=128,
+                         seed=31)
+    kw = dict(num_factors=4, task="classification", solver="sgd",
+              max_iter=2, model="deepfm", hidden=(8,), num_fields=4,
+              batch_size=128, learning_rate=0.05, seed=31)
+    with pytest.raises(ValueError, match="dense"):
+        FM(mesh=MeshConfig(data=4, model=2, exchange="dense"),
+           **kw).fit(ds)
+    m_u = FM(mesh=MeshConfig(data=4, model=2, exchange="unique"),
+             **kw).fit(ds, eval_ds=ds)
+    m_g = FM(mesh=MeshConfig(data=4, model=2), **kw).fit(ds, eval_ds=ds)
+    au = m_u.history[-1]["eval_auc"]
+    ag = m_g.history[-1]["eval_auc"]
+    assert abs(au - ag) < 5e-3, (au, ag)

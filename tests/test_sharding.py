@@ -483,3 +483,62 @@ def test_trainer_global_hybrid_end_to_end():
     rg = res_g.history[-1]["eval_rmse"]
     ru = res_u.history[-1]["eval_rmse"]
     assert abs(rg - ru) < 1e-3, (rg, ru)
+
+
+def test_global_batch_lifts_hybrid_extras():
+    """multihost.global_batch(plan_mode="global_hybrid") must carry the
+    sorted-backward extras (order=gmap/seg/svals/sex) through to the
+    device batch — in round 3 it hardcoded order=None/seg=None, so the
+    trainer's sharded-hybrid path silently fell back to jax.grad."""
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.parallel import multihost as MH
+
+    mesh = M.make_mesh(4, 2)
+    d = mesh.shape[M.DATA_AXIS]
+    rng = np.random.default_rng(0)
+    B, L = 32, 4
+    ids = rng.integers(0, 50, (B, L)).astype(np.int32)
+    vals = rng.normal(size=(B, L)).astype(np.float32)
+    b = SparseBatch(ids=jnp.asarray(ids), vals=jnp.asarray(vals),
+                    y=jnp.zeros((B,), jnp.float32),
+                    mask=jnp.ones((B,), bool))
+    hp = E.host_dedup(ids, 64, 63)
+    seg, sv, sex, gmap, _ = E.stack_hybrid_extras(hp.ranks, vals, d)
+    plan = hp._replace(order=gmap, seg=seg, svals=sv, sex=sex)
+    gb = MH.global_batch(mesh, b, plan=plan, plan_mode="global_hybrid")
+    assert gb.plan.seg is not None and gb.plan.svals is not None
+    assert gb.plan.sex is not None and gb.plan.order is not None
+    np.testing.assert_array_equal(np.asarray(gb.plan.seg), seg)
+    np.testing.assert_array_equal(np.asarray(gb.plan.order), gmap)
+    np.testing.assert_allclose(np.asarray(gb.plan.svals), sv)
+    np.testing.assert_array_equal(np.asarray(gb.plan.sex), sex)
+
+
+def test_trainer_mesh_auto_path_runs_hybrid_backward(monkeypatch):
+    """train_sgd(mesh=...) on an eligible config (plain FM, f32, adagrad,
+    host plans) must actually trace the analytic sorted backward
+    (fm_grad_segsum), not silently fall back to jax.grad."""
+    from sparkfm_tpu.config import MeshConfig
+    from sparkfm_tpu.ops import pallas_segsum as SS
+    from sparkfm_tpu.training import trainer
+
+    calls = []
+    real = SS.fm_grad_segsum
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(SS, "fm_grad_segsum", spy)
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=512, seed=5)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                   reg_v=0.01, seed=5)
+    sgd_cfg = SGDConfig(batch_size=128, learning_rate=0.1,
+                        optimizer="adagrad", epochs=1,
+                        shuffle_each_epoch=False)
+    res = trainer.train_sgd(cfg, sgd_cfg, ds,
+                            mesh=MeshConfig(data=4, model=2))
+    assert calls, ("the sharded auto path never traced fm_grad_segsum — "
+                   "hybrid extras were dropped before the step")
+    assert np.isfinite(res.history[-1]["train_loss"])
