@@ -284,6 +284,20 @@ def child_main():
     for b in batches:
         jax.block_until_ready(b.ids)
 
+    # Multi-step dispatch (hybrid only): scan BENCH_GROUP staged batches
+    # per jitted call, amortizing the ~1.6 ms/dispatch launch floor.
+    group = int(os.environ.get("BENCH_GROUP", "1"))
+    if group > 1 and resolved == "hybrid":
+        from sparkfm_tpu.solvers import sgd_hybrid
+        step_fn = sgd_hybrid.make_hybrid_multi_step(cfg, sgd_cfg, group)
+        assert n_batches % group == 0
+        batches = [sgd_hybrid.stack_batches(batches[i:i + group])
+                   for i in range(0, n_batches, group)]
+        n_batches = len(batches)
+        batch *= group          # examples per dispatch
+        steps = max(1, steps // group)
+        hb(f"grouped: {group} steps/dispatch")
+
     # Warmup / compile; force real completion with a dependent fetch.
     hb("compiling train step")
     state, aux = step_fn(state, batches[0])

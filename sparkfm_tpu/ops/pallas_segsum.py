@@ -506,6 +506,218 @@ def fm_grad_segsum(vw_srt: jnp.ndarray, ex_srt: jnp.ndarray,
     return jnp.where(valid[:, None], out, 0.0)
 
 
+def _fm_grad_factored_kernel(subtile: int, bf16x2: bool, k: int,
+                             seg_smem, coef_smem, ex_ref, x_ref,
+                             seg_vmem, out_ref, carry, prev_rl, buf, sem):
+    """Factored FM backward: the unique row V_u never enters the stream.
+
+    Within a run (all slots sharing one unique id) the row v is CONSTANT,
+    so it factors out of both gradient sums analytically:
+
+        g_v[i] = t1_i - t2_i * v        t1 = ds*x*s,  t2 = ds*x*x - cv*a
+        Σg_v   = Σt1 - (Σt2) ⊙ V_u
+        Σg_v²  = Σt1² - 2 V_u ⊙ Σ(t1 t2) + V_u² ⊙ Σt2²
+        g_w[i] = dsx_i + cw*a_i*w   →  Σg_w  = Σdsx + cw W_u Σa
+                                       Σg_w² = Σdsx² + 2cw W_u Σ(dsx a)
+                                               + cw² W_u² Σa²
+
+    so the kernel reduces ONLY example-derived payloads — the (N, k+1)
+    id-sorted row stream (and the ~2 ms gather that produced it,
+    solvers/sgd_hybrid.py round 3) is gone; a (U, k)-sized combine with
+    the already-VMEM-resident vw_u happens outside
+    (:func:`fm_grad_segsum_factored`). Payload lanes per sorted slot:
+
+        [t1 (k) | t1² (k) | t1·t2 (k) | t2 | t2² | dsx | dsx² | dsx·a
+         | a² | a | 0-pad]                         width 3k+7 -> pad 128
+
+    Same carry/sub-tile/last-writer discipline as _segsum_sq_kernel.
+    """
+    t = ex_ref.shape[0]
+    wout = carry.shape[1]
+    wpad = wout - (3 * k + 7)
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        prev_rl[0] = -1
+
+    r0 = seg_smem[0]
+    cv = coef_smem[0]
+    n_sub = t // subtile
+
+    for si in range(n_sub):
+        s0 = si * subtile
+        rs0 = seg_smem[s0]
+        rsl = seg_smem[s0 + subtile - 1]
+        local = (seg_vmem[s0:s0 + subtile] - rs0).reshape(subtile, 1)
+
+        ex = ex_ref[s0:s0 + subtile, :]                       # (S, k+2)
+        x = x_ref[s0:s0 + subtile].reshape(subtile, 1)        # (S, 1)
+        s = ex[:, :k]
+        ds = ex[:, k:k + 1]
+        wt = ex[:, k + 1:k + 2]
+        a = jnp.where(x != 0.0, wt, 0.0)                      # (S, 1)
+        dsx = ds * x                                          # (S, 1)
+        t1 = dsx * s                                          # (S, k)
+        t2 = dsx * x - cv * a                                 # (S, 1)
+        gg = jnp.concatenate(
+            [t1, t1 * t1, t1 * t2, t2, t2 * t2, dsx, dsx * dsx,
+             dsx * a, a * a, a,
+             jnp.zeros((subtile, wpad), jnp.float32)], axis=1)  # (S, wout)
+
+        iota_rank = jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, subtile), 1)
+        m2 = (local == iota_rank)
+        if bf16x2:
+            m2b = m2.astype(jnp.bfloat16)
+            hi = gg.astype(jnp.bfloat16)
+            lo = (gg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            partial = jax.lax.dot_general(
+                m2b, hi, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = partial + jax.lax.dot_general(
+                m2b, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            partial = jax.lax.dot_general(
+                m2.astype(jnp.float32), gg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # (S, wout)
+
+        continuing = rs0 == prev_rl[0]
+        row0 = (jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, 1), 0) == 0)
+        carry_in = jnp.where(continuing, 1.0, 0.0) * carry[...]
+        partial = partial + jnp.where(row0, 1.0, 0.0) * carry_in
+
+        last_mask = local == (rsl - rs0)
+        run_sum = jnp.sum(jnp.where(last_mask, gg, 0.0), axis=0,
+                          keepdims=True)                      # (1, wout)
+        whole_one_run = jnp.logical_and(continuing, rsl == rs0)
+        carry[...] = run_sum + jnp.where(whole_one_run, 1.0, 0.0) * carry_in
+        prev_rl[0] = rsl
+
+        buf[pl.ds(rs0 - r0, subtile), :] = partial
+
+    cp = pltpu.make_async_copy(
+        buf.at[pl.ds(0, t)], out_ref.at[pl.ds(r0, t)], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "k", "tile", "subtile",
+                              "bf16x2", "interpret"))
+def _fm_grad_factored_pallas(ex: jnp.ndarray, x: jnp.ndarray,
+                             seg: jnp.ndarray, coef: jnp.ndarray,
+                             num_segments: int, k: int, tile: int = 1024,
+                             subtile: int = 256, bf16x2: bool = True,
+                             interpret: bool = False) -> jnp.ndarray:
+    n = ex.shape[0]
+    assert n % tile == 0 and tile % subtile == 0, (n, tile, subtile)
+    w_out = ((3 * k + 7 + 127) // 128) * 128
+    kern = functools.partial(_fm_grad_factored_kernel, subtile, bf16x2, k)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.SMEM),            # seg scalars
+            pl.BlockSpec((2,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),            # [cv, cw]
+            pl.BlockSpec((tile, k + 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),            # ex_srt
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),            # x (svals) 1-D
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),            # seg 1-D
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, w_out), jnp.float32),              # carry
+            pltpu.SMEM((1,), jnp.int32),                      # prev_rl
+            pltpu.VMEM((tile, w_out), jnp.float32),           # buf window
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_segments + tile, w_out),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg, coef, ex, x, seg)
+    return out[:num_segments, :3 * k + 7]
+
+
+def fm_grad_segsum_factored(vw_u: jnp.ndarray, ex_srt: jnp.ndarray,
+                            x: jnp.ndarray, seg: jnp.ndarray,
+                            num_segments: int, cv, cw, *,
+                            tile: int = 1024, subtile: int = 256,
+                            bf16x2: bool = True,
+                            force: str = "auto") -> jnp.ndarray:
+    """Drop-in replacement for :func:`fm_grad_segsum` that never streams
+    the (N, k+1) sorted row matrix: per-run sums of example-derived
+    payloads (see _fm_grad_factored_kernel) are combined with the
+    (U, k+1) unique rows OUTSIDE the kernel. Returns the same
+    (U, 2k+2) [Σg_v | Σg_w | Σg_v² | Σg_w²].
+
+    vw_u: (num_segments, k+1) unique rows ALIGNED WITH seg's rank space
+    (the single-chip plan's budget rows, or vw_u[gmap] per shard on the
+    sharded path). force: auto|pallas|xla|interpret; the XLA fallback
+    (and non-TPU auto) evaluates the direct unfactored formula — exact
+    f32, bit-identical to fm_grad_segsum's fallback, so CPU parity tests
+    are unchanged.
+    """
+    k = vw_u.shape[1] - 1
+    from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
+    if force == "xla" or (force == "auto" and not use_pallas_rowio()):
+        vw_srt = vw_u.at[seg].get(indices_are_sorted=True,
+                                  mode="promise_in_bounds")
+        return fm_grad_segsum(vw_srt, ex_srt, x, seg, num_segments, cv,
+                              cw, tile=tile, subtile=subtile,
+                              bf16x2=bf16x2, force="xla")
+
+    interpret = force == "interpret"
+    n = ex_srt.shape[0]
+    pad_n = (-n) % tile
+    if pad_n:
+        zrow = lambda a: jnp.concatenate(
+            [a, jnp.zeros((pad_n,) + a.shape[1:], a.dtype)], axis=0)
+        ex_srt, x = zrow(ex_srt), zrow(x)
+        seg = jnp.concatenate([seg, jnp.broadcast_to(seg[-1:], (pad_n,))])
+    coef = jnp.stack([jnp.asarray(cv, jnp.float32),
+                      jnp.asarray(cw, jnp.float32)])
+    raw = _fm_grad_factored_pallas(
+        ex_srt.astype(jnp.float32), x.astype(jnp.float32),
+        seg.astype(jnp.int32), coef, num_segments, k, tile=tile,
+        subtile=subtile, bf16x2=bf16x2, interpret=interpret)
+    rank = jax.lax.iota(jnp.int32, num_segments)
+    valid = jnp.logical_and(rank >= seg[0], rank <= seg[-1])
+    raw = jnp.where(valid[:, None], raw, 0.0)
+
+    # per-unique combine (U-sized elementwise; V_u/W_u from the resident
+    # unique matrix)
+    v_u = vw_u[:, :k]
+    w_u = vw_u[:, k:k + 1]
+    s_t1 = raw[:, :k]
+    s_t1sq = raw[:, k:2 * k]
+    s_t12 = raw[:, 2 * k:3 * k]
+    s_t2 = raw[:, 3 * k:3 * k + 1]
+    s_t2sq = raw[:, 3 * k + 1:3 * k + 2]
+    s_dsx = raw[:, 3 * k + 2:3 * k + 3]
+    s_dsxsq = raw[:, 3 * k + 3:3 * k + 4]
+    s_dsxa = raw[:, 3 * k + 4:3 * k + 5]
+    s_asq = raw[:, 3 * k + 5:3 * k + 6]
+    s_a = raw[:, 3 * k + 6:3 * k + 7]
+    cwf = jnp.asarray(cw, jnp.float32)
+    g_v = s_t1 - s_t2 * v_u
+    sq_v = s_t1sq - 2.0 * v_u * s_t12 + jnp.square(v_u) * s_t2sq
+    g_w = s_dsx + cwf * w_u * s_a
+    sq_w = (s_dsxsq + 2.0 * cwf * w_u * s_dsxa
+            + jnp.square(cwf * w_u) * s_asq)
+    return jnp.concatenate([g_v, g_w, sq_v, sq_w], axis=1)
+
+
 def segment_rowsum(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
                    tile: int = 1024, force: str = "auto") -> jnp.ndarray:
     # tile=1024 keeps the seg SMEM block on XLA's s32 1-D {0:T(1024)}

@@ -537,15 +537,15 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
             dsum = jnp.sum(jnp.square(err) * wt)
             ds = 2.0 * err * wt / denom_data
 
-        # ---- per-shard analytic sorted backward
+        # ---- per-shard analytic sorted backward (factored: V_u never
+        # enters the stream — fm_grad_segsum_factored combines the
+        # example-payload run sums with the (U_cap, k+1) local rows)
         vw_loc = vw_u.at[gmap_d].get(mode="promise_in_bounds")  # (U_cap,k+1)
-        vw_srt = vw_loc.at[seg_d].get(
-            indices_are_sorted=True, mode="promise_in_bounds")  # (N_loc,)
         ex_pack = jnp.concatenate(
             [s, ds[:, None], wt[:, None]], axis=1)            # (B/D, k+2)
         ex_srt = ex_pack[sex_d]
-        acc_loc = SS.fm_grad_segsum(
-            vw_srt, ex_srt, svals_d, seg_d, u_cap,
+        acc_loc = SS.fm_grad_segsum_factored(
+            vw_loc, ex_srt, svals_d, seg_d, u_cap,
             2.0 * cfg.reg_v / denom_reg, 2.0 * cfg.reg_w / denom_reg)
         # unused U_cap rows are exact zeros (kernel masks past seg[-1]);
         # their gmap entries point at rank 0 and add nothing.

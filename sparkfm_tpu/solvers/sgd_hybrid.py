@@ -49,11 +49,14 @@ from sparkfm_tpu.solvers.sgd_fused import FusedState
 
 def make_hybrid_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
                            segsum_force: str = "auto",
-                           bf16x2: bool = True):
+                           bf16x2: bool = True,
+                           _jit: bool = True):
     """(FusedState, SparseBatch) -> (FusedState, aux). See module doc.
 
     segsum_force/bf16x2 feed segment_rowsum_sq (tests pin "xla" for exact
     f32 parity; bf16x2=True costs ~2e-4 max relative error on gradient sums).
+    _jit=False returns the raw traceable step (make_hybrid_multi_step
+    wraps it in a lax.scan).
     """
     if cfg.num_fields > 0:
         raise ValueError("hybrid path supports plain FM (use dedup for FFM)")
@@ -122,17 +125,19 @@ def make_hybrid_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
 
         # ---- sorted-order analytic backward, fully in-kernel: the
         # gradient formula AND the [Σg | Σg²] reduce run in one streaming
-        # Pallas pass (ops/pallas_segsum.py::fm_grad_segsum) — the (N, k+1)
-        # gradient pack never exists in HBM (its elementwise production
-        # alone measured ~4.4 ms in-step on v5e, benchmarks/ablate_hybrid.py)
-        vw_srt = vw_u.at[plan.seg].get(
-            indices_are_sorted=True, mode="promise_in_bounds")  # (N, k+1)
+        # Pallas pass — and since every slot in a run shares the SAME
+        # unique row, V_u factors out of the run sums analytically
+        # (ops/pallas_segsum.py::fm_grad_segsum_factored): the kernel
+        # streams only example-derived payloads, so neither the (N, k+1)
+        # gradient pack NOR the (N, k+1) sorted row matrix ever exists in
+        # HBM (the vw_u[plan.seg] gather alone measured ~2 ms in-step on
+        # v5e, docs/PERF.md round-4 anatomy).
         ex_pack = jnp.concatenate(
             [s, ds[:, None], wt[:, None]], axis=1)            # (B, k+2)
         ex_srt = ex_pack[plan.sex]                            # (N, k+2)
         x = plan.svals                                        # (N,)
-        acc = SS.fm_grad_segsum(
-            vw_srt, ex_srt, x, plan.seg, budget,
+        acc = SS.fm_grad_segsum_factored(
+            vw_u, ex_srt, x, plan.seg, budget,
             2.0 * cfg.reg_v / denom_reg, 2.0 * cfg.reg_w / denom_reg,
             bf16x2=bf16x2, force=segsum_force)
         g_v_u, g_w_u = acc[:, :k], acc[:, k]
@@ -187,4 +192,46 @@ def make_hybrid_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
                            "unique_count": plan.count,
                            "unique_overflow": plan.overflow}
 
+    if not _jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def stack_batches(batches):
+    """Stack G same-shape SparseBatches into one (G, ...)-leading pytree
+    for :func:`make_hybrid_multi_step` (ladder plans share a rung within
+    an iterator, so shapes match)."""
+    import jax.tree_util as jtu
+    return jtu.tree_map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_hybrid_multi_step(cfg: FMConfig, sgd_cfg: SGDConfig,
+                           group: int, segsum_force: str = "auto",
+                           bf16x2: bool = True):
+    """G hybrid steps per dispatch via lax.scan over stacked batches.
+
+    Why: on TPU each jitted dispatch carries a fixed launch/donation
+    overhead (measured ~1.6 ms/step for a donating no-op on v5e,
+    docs/PERF.md round-4 anatomy) that the single-step loop pays per
+    batch. Scanning G staged batches amortizes it to 1/G while keeping
+    update math EXACTLY the single-step sequence (scan is sequential;
+    the table dependency chains through).
+
+    aux is the LAST step's aux plus "unique_overflow" OR-ed over the
+    group (an overflow anywhere must surface).
+    """
+    raw = make_hybrid_train_step(cfg, sgd_cfg, segsum_force, bf16x2,
+                                 _jit=False)
+
+    def multi(state: FusedState, stacked: SparseBatch):
+        def body(s, b):
+            s2, aux = raw(s, b)
+            return s2, {"loss": aux["loss"],
+                        "unique_overflow": aux["unique_overflow"]}
+        state, auxs = jax.lax.scan(body, state, stacked, length=group)
+        return state, {
+            "loss": auxs["loss"][-1],
+            "loss_mean": jnp.mean(auxs["loss"]),
+            "unique_overflow": jnp.any(auxs["unique_overflow"])}
+
+    return jax.jit(multi, donate_argnums=(0,))

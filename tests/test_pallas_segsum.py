@@ -176,3 +176,69 @@ def test_fm_grad_segsum_pad_and_tile_boundaries():
     np.testing.assert_allclose(np.asarray(out),
                                _fm_grad_ref(vw, ex, x, seg, u, cv, cw),
                                rtol=1e-5, atol=1e-5)
+
+
+def _mk_factored_case(rng, n, k, u_extra=3):
+    """Case where per-slot rows are consistent with a (U, k+1) unique
+    matrix (the factored kernel's contract: one row per run)."""
+    incr = rng.integers(0, 2, n); incr[0] = 0
+    seg = np.cumsum(incr).astype(np.int32)
+    u = int(seg[-1]) + u_extra
+    vw_u = rng.normal(size=(u, k + 1)).astype(np.float32)
+    ex = rng.normal(size=(n, k + 2)).astype(np.float32)
+    ex[:, k + 1] = rng.integers(0, 2, n)
+    x = np.where(rng.random(n) < 0.2, 0.0,
+                 rng.normal(size=n)).astype(np.float32)
+    return vw_u, ex, x, seg, u
+
+
+def test_fm_grad_factored_interpret_matches_oracle():
+    """The factored backward (V_u factored out of the run sums) matches
+    the explicit per-slot oracle."""
+    rng = np.random.default_rng(21)
+    cv, cw = 3e-3, 7e-3
+    for k in (4, 32):
+        vw_u, ex, x, seg, u = _mk_factored_case(rng, 96, k)
+        ref = _fm_grad_ref(vw_u[seg], ex, x, seg, u, cv, cw)
+        for bf16x2, tol in ((False, 1e-4), (True, 5e-3)):
+            out = S.fm_grad_segsum_factored(
+                jnp.asarray(vw_u), jnp.asarray(ex), jnp.asarray(x),
+                jnp.asarray(seg), u, cv, cw, tile=8, subtile=4,
+                bf16x2=bf16x2, force="interpret")
+            np.testing.assert_allclose(np.asarray(out), ref,
+                                       rtol=tol, atol=tol)
+
+
+def test_fm_grad_factored_xla_fallback_exact():
+    """XLA fallback of the factored entry point is the direct formula —
+    bit-identical to fm_grad_segsum's fallback (CPU parity contract)."""
+    rng = np.random.default_rng(22)
+    vw_u, ex, x, seg, u = _mk_factored_case(rng, 50, 8)
+    cv, cw = 1e-2, 2e-2
+    a = S.fm_grad_segsum_factored(
+        jnp.asarray(vw_u), jnp.asarray(ex), jnp.asarray(x),
+        jnp.asarray(seg), u, cv, cw, force="xla")
+    b = S.fm_grad_segsum(
+        jnp.asarray(vw_u[seg]), jnp.asarray(ex), jnp.asarray(x),
+        jnp.asarray(seg), u, cv, cw, force="xla")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fm_grad_factored_pad_and_boundaries():
+    rng = np.random.default_rng(23)
+    n, k = 70, 8
+    seg = np.sort(rng.integers(0, 5, n)).astype(np.int32)
+    _, seg = np.unique(seg, return_inverse=True)
+    seg = seg.astype(np.int32)
+    u = int(seg[-1]) + 2
+    vw_u = rng.normal(size=(u, k + 1)).astype(np.float32)
+    ex = rng.normal(size=(n, k + 2)).astype(np.float32)
+    x = rng.normal(size=n).astype(np.float32)
+    cv, cw = 5e-3, 0.0
+    out = S.fm_grad_segsum_factored(
+        jnp.asarray(vw_u), jnp.asarray(ex), jnp.asarray(x),
+        jnp.asarray(seg), u, cv, cw, tile=16, subtile=8,
+        bf16x2=False, force="interpret")
+    np.testing.assert_allclose(
+        np.asarray(out), _fm_grad_ref(vw_u[seg], ex, x, seg, u, cv, cw),
+        rtol=1e-4, atol=1e-4)

@@ -10,7 +10,7 @@ import pytest
 
 from sparkfm_tpu.config import FMConfig, SGDConfig, Task
 from sparkfm_tpu.data import synth
-from sparkfm_tpu.data.batching import batch_iterator
+from sparkfm_tpu.data.batching import SparseBatch, batch_iterator
 from sparkfm_tpu.ops import pallas_segsum as SS
 from sparkfm_tpu.solvers import sgd_fused, sgd_hybrid
 
@@ -94,3 +94,53 @@ def test_segment_rowsum_sq_oracle():
         got_xla = np.asarray(SS.segment_rowsum_sq(
             jnp.asarray(g), jnp.asarray(seg), u, force="xla"))
         assert np.max(np.abs(got_xla - want) / scale) < 5e-5
+
+
+def test_multi_step_matches_sequential_steps():
+    """make_hybrid_multi_step(scan over G stacked batches) produces the
+    EXACT state sequence of G single steps (scan is sequential; the
+    donated-table dependency chains through)."""
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.solvers import sgd_fused, sgd_hybrid
+
+    rng = np.random.default_rng(7)
+    B, L, F, k = 64, 6, 512, 4
+    cfg = FMConfig(num_features=F, num_factors=k,
+                   task=Task.CLASSIFICATION, reg_w=1e-4, reg_v=1e-4,
+                   seed=7)
+    sgd_cfg = SGDConfig(batch_size=B, learning_rate=0.1,
+                        optimizer="adagrad", unique_budget=512)
+
+    def mk():
+        ids = rng.integers(0, F, (B, L)).astype(np.int32)
+        vals = np.ones((B, L), np.float32)
+        hp = E.host_dedup(ids, 512, F, vals=vals)
+        plan = E.DedupBatch(
+            uids=jnp.asarray(hp.uids), ranks=jnp.asarray(hp.ranks),
+            count=jnp.asarray(hp.count), overflow=jnp.asarray(hp.overflow),
+            order=jnp.asarray(hp.order), seg=jnp.asarray(hp.seg),
+            svals=jnp.asarray(hp.svals), sex=jnp.asarray(hp.sex))
+        return SparseBatch(
+            ids=jnp.asarray(ids), vals=jnp.asarray(vals),
+            y=jnp.asarray(rng.integers(0, 2, (B,)).astype(np.float32)),
+            mask=jnp.ones((B,), bool), plan=plan)
+
+    batches = [mk() for _ in range(4)]
+
+    s1 = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(1))
+    step = sgd_hybrid.make_hybrid_train_step(cfg, sgd_cfg)
+    losses = []
+    for b in batches:
+        s1, aux = step(s1, b)
+        losses.append(float(aux["loss"]))
+
+    s2 = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(1))
+    multi = sgd_hybrid.make_hybrid_multi_step(cfg, sgd_cfg, group=4)
+    s2, maux = multi(s2, sgd_hybrid.stack_batches(batches))
+
+    np.testing.assert_array_equal(np.asarray(s1.table),
+                                  np.asarray(s2.table))
+    np.testing.assert_allclose(float(s1.w0), float(s2.w0), rtol=1e-6)
+    assert abs(float(maux["loss"]) - losses[-1]) < 1e-6
+    assert abs(float(maux["loss_mean"]) - np.mean(losses)) < 1e-6
+    assert not bool(maux["unique_overflow"])

@@ -59,6 +59,21 @@ a = np.asarray(S.fm_grad_segsum(*args, force="pallas", bf16x2=False))
 assert relerr(a, b) < 1e-4, ("fm_grad_segsum f32", relerr(a, b))
 a = np.asarray(S.fm_grad_segsum(*args, force="pallas", bf16x2=True))
 assert relerr(a, b) < 1e-3, ("fm_grad_segsum bf16x2", relerr(a, b))
+
+# factored variant: V_u factored out of the run sums (round 4) — per-slot
+# rows must be run-consistent, so gather them from a (U, 33) unique matrix
+vw_u = rng.normal(size=(u, 33)).astype(np.float32)
+fargs = (jnp.asarray(vw_u), jnp.asarray(ex), jnp.asarray(x),
+         jnp.asarray(seg), u, 2e-3, 4e-3)
+b = np.asarray(S.fm_grad_segsum(jnp.asarray(vw_u[seg]), jnp.asarray(ex),
+                                jnp.asarray(x), jnp.asarray(seg), u,
+                                2e-3, 4e-3, force="xla"))
+a = np.asarray(S.fm_grad_segsum_factored(*fargs, force="pallas",
+                                         bf16x2=False))
+assert relerr(a, b) < 1e-4, ("fm_grad_factored f32", relerr(a, b))
+a = np.asarray(S.fm_grad_segsum_factored(*fargs, force="pallas",
+                                         bf16x2=True))
+assert relerr(a, b) < 1e-3, ("fm_grad_factored bf16x2", relerr(a, b))
 print("HW_PARITY_OK")
 """
 
