@@ -383,11 +383,6 @@ class FM:
         if self.model == "deepfm":
             if self.solver != "sgd":
                 raise ValueError("model='deepfm' requires solver='sgd'")
-            if checkpoint_dir is not None:
-                raise ValueError(
-                    "model='deepfm' does not support checkpoint_dir yet; "
-                    "pass checkpoint_dir=None (silently dropping it would "
-                    "train unprotected — ADVICE r2)")
             if isinstance(train, RelationalDataset):
                 train = train.materialize()
                 if eval_ds is not None and hasattr(eval_ds, "materialize"):
@@ -402,7 +397,8 @@ class FM:
             res = _deepfm.train_deepfm(dcfg, sgd_cfg, train, eval_ds,
                                        self.eval_every,
                                        jax.random.PRNGKey(self.seed),
-                                       mesh=self.mesh)
+                                       mesh=self.mesh,
+                                       checkpoint_dir=checkpoint_dir)
             return DeepFMModel(params=res.params, cfg=dcfg,
                                history=res.history,
                                examples_per_sec=res.examples_per_sec)

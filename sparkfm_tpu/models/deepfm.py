@@ -366,12 +366,20 @@ def init_state(params: DeepFMParams) -> dict:
 
 def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                  eval_ds=None, eval_every: int = 1,
-                 key: Optional[jax.Array] = None, mesh=None):
+                 key: Optional[jax.Array] = None, mesh=None,
+                 checkpoint_dir: Optional[str] = None,
+                 checkpoint_every: int = 1, resume: bool = True):
     """Mini training loop mirroring trainer.train_sgd for DeepFM.
 
     With ``mesh``, trains the sharded step (BASELINE config 5 "on pod
     slice"): FM tables row-sharded with the unique exchange, tower
     data-parallel — parallel/sharded_deepfm.py.
+
+    With ``checkpoint_dir``, the full state (FM tables + slots + tower)
+    is Orbax-saved every ``checkpoint_every`` epochs and, if ``resume``
+    and a checkpoint exists, training continues from the saved epoch
+    with the identical (seed, epoch)-keyed batch order — bit-exact
+    resume, same contract as trainer.train_sgd (VERDICT r3 #6).
     """
     import time
 
@@ -393,7 +401,10 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
             mesh = _M.mesh_from_config(mesh)
         return _train_deepfm_sharded(cfg, sgd_cfg, train, eval_ds,
                                      eval_every, key, mesh,
-                                     exchange=exchange)
+                                     exchange=exchange,
+                                     checkpoint_dir=checkpoint_dir,
+                                     checkpoint_every=checkpoint_every,
+                                     resume=resume)
     params = init_params(cfg, key)
     state = init_state(params)
     path = sgd_cfg.update_path
@@ -426,10 +437,19 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                 "accuracy": float(np.mean((prob >= .5) == (y01 > .5)))}
 
     history = []
+    start_epoch = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        from sparkfm_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(checkpoint_dir)
+        if resume and ckpt.latest_step() is not None:
+            state, extra = ckpt.restore(template=state)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            history = list(extra.get("history", []))
     n = 0
     t0 = time.perf_counter()
     from sparkfm_tpu.data.batching import prefetch
-    for epoch in range(sgd_cfg.epochs):
+    for epoch in range(start_epoch, sgd_cfg.epochs):
         losses = []
         for batch in prefetch(batch_iterator(
                 train, sgd_cfg.batch_size,
@@ -447,6 +467,12 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                         for k, v in eval_metrics(state["params"],
                                                  eval_ds).items()})
         history.append(rec)
+        if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
+                                 or epoch == sgd_cfg.epochs - 1):
+            ckpt.save(epoch, state,
+                      extra={"epoch": epoch, "history": history})
+    if ckpt is not None:
+        ckpt.close()
     eps = n / max(time.perf_counter() - t0, 1e-9)
     params = state["params"]
     if path == "dedup":   # drop the dummy row
@@ -461,7 +487,9 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
 
 def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                           eval_ds, eval_every: int, key, mesh,
-                          exchange: str = "auto"):
+                          exchange: str = "auto",
+                          checkpoint_dir: Optional[str] = None,
+                          checkpoint_every: int = 1, resume: bool = True):
     """Sharded DeepFM loop: parallel/sharded_deepfm.py step over the
     (data, model) mesh, per-host batch slices via parallel/multihost.py.
 
@@ -552,9 +580,20 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                 "accuracy": float(np.mean((prob >= .5) == (y01 > .5)))}
 
     history = []
+    start_epoch = 0
+    ckpt = None
+    if checkpoint_dir is not None:
+        # sharded state restores per-shard through the template's
+        # NamedShardings (utils/checkpoint.py) — no host funnel
+        from sparkfm_tpu.utils.checkpoint import Checkpointer
+        ckpt = Checkpointer(checkpoint_dir)
+        if resume and ckpt.latest_step() is not None:
+            state, extra = ckpt.restore(template=state)
+            start_epoch = int(extra.get("epoch", -1)) + 1
+            history = list(extra.get("history", []))
     n = 0
     t0 = time.perf_counter()
-    for epoch in range(sgd_cfg.epochs):
+    for epoch in range(start_epoch, sgd_cfg.epochs):
         losses = []
         for batch in prefetch(map(lift, batch_iterator(
                 train, sgd_cfg.batch_size,
@@ -571,6 +610,12 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                         for k, v in eval_metrics(state["params"],
                                                  eval_ds).items()})
         history.append(rec)
+        if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
+                                 or epoch == sgd_cfg.epochs - 1):
+            ckpt.save(epoch, state,
+                      extra={"epoch": epoch, "history": history})
+    if ckpt is not None:
+        ckpt.close()
     eps = n / max(time.perf_counter() - t0, 1e-9)
     # replicate + trim to the true feature count
     p = state["params"]

@@ -129,3 +129,30 @@ def test_deepfm_dedup_matches_direct():
     np.testing.assert_allclose(
         [h["train_loss"] for h in res["dedup"].history],
         [h["train_loss"] for h in res["direct"].history], rtol=1e-5)
+
+
+def test_deepfm_checkpoint_bitexact_resume(tmp_path):
+    """Interrupted-and-resumed DeepFM training reproduces an
+    uninterrupted run bit-for-bit (VERDICT r3 #6) — through the facade,
+    which previously rejected checkpoint_dir outright."""
+    from sparkfm_tpu.api import FM
+
+    ds = synth.synth_ctr(num_examples=768, num_fields=4, num_buckets=128,
+                         seed=17)
+    kw = dict(num_factors=4, task="classification", solver="sgd",
+              model="deepfm", hidden=(8,), num_fields=4, batch_size=128,
+              learning_rate=0.05, seed=17)
+
+    m_full = FM(max_iter=4, **kw).fit(ds)
+
+    ck = str(tmp_path / "dfm_ck")
+    FM(max_iter=2, **kw).fit(ds, checkpoint_dir=ck)        # "crash" at 2
+    m_res = FM(max_iter=4, **kw).fit(ds, checkpoint_dir=ck)  # resume
+
+    np.testing.assert_array_equal(np.asarray(m_full.params.fm.v),
+                                  np.asarray(m_res.params.fm.v))
+    np.testing.assert_array_equal(np.asarray(m_full.params.fm.w),
+                                  np.asarray(m_res.params.fm.w))
+    for a, b in zip(m_full.params.mlp_w, m_res.params.mlp_w):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert [h["epoch"] for h in m_res.history] == [0, 1, 2, 3]

@@ -188,3 +188,30 @@ def test_deepfm_mesh_exchange_honored_or_rejected():
     au = m_u.history[-1]["eval_auc"]
     ag = m_g.history[-1]["eval_auc"]
     assert abs(au - ag) < 5e-3, (au, ag)
+
+
+def test_deepfm_mesh_checkpoint_bitexact_resume(tmp_path):
+    """Sharded DeepFM checkpoint/resume on the virtual mesh: the resumed
+    run matches an uninterrupted one bit-for-bit."""
+    from sparkfm_tpu.api import FM
+    from sparkfm_tpu.config import MeshConfig
+
+    ds = synth.synth_ctr(num_examples=768, num_fields=4, num_buckets=128,
+                         seed=18)
+    kw = dict(num_factors=4, task="classification", solver="sgd",
+              model="deepfm", hidden=(8,), num_fields=4, batch_size=128,
+              learning_rate=0.05, seed=18)
+
+    m_full = FM(max_iter=4, mesh=MeshConfig(data=4, model=2), **kw).fit(ds)
+    ck = str(tmp_path / "dfm_mesh_ck")
+    FM(max_iter=2, mesh=MeshConfig(data=4, model=2), **kw).fit(
+        ds, checkpoint_dir=ck)
+    m_res = FM(max_iter=4, mesh=MeshConfig(data=4, model=2), **kw).fit(
+        ds, checkpoint_dir=ck)
+
+    np.testing.assert_array_equal(np.asarray(m_full.params.fm.v),
+                                  np.asarray(m_res.params.fm.v))
+    np.testing.assert_array_equal(np.asarray(m_full.params.fm.w),
+                                  np.asarray(m_res.params.fm.w))
+    for a, b in zip(m_full.params.mlp_w, m_res.params.mlp_w):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
