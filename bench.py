@@ -53,6 +53,9 @@ Env knobs (all optional):
                   rung 49152), exactly what trainer-driven host plans
                   do. Overflow is impossible by construction and still
                   asserted 0. A numeric value pins a static budget.
+  BENCH_GROUP     hybrid steps per dispatch (default 2; lax.scan over
+                  stacked staged batches — SGDConfig.steps_per_dispatch,
+                  amortizes the ~1.6 ms launch floor; 1 = single-step)
   BENCH_TIMEOUT   parent per-attempt deadline seconds (default 150)
   BENCH_NO_FORK   1 = run the measurement in-process (no supervisor);
                   what the child itself runs.
@@ -286,7 +289,7 @@ def child_main():
 
     # Multi-step dispatch (hybrid only): scan BENCH_GROUP staged batches
     # per jitted call, amortizing the ~1.6 ms/dispatch launch floor.
-    group = int(os.environ.get("BENCH_GROUP", "1"))
+    group = int(os.environ.get("BENCH_GROUP", "2"))
     if group > 1 and resolved == "hybrid":
         from sparkfm_tpu.solvers import sgd_hybrid
         step_fn = sgd_hybrid.make_hybrid_multi_step(cfg, sgd_cfg, group)

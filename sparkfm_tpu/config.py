@@ -183,6 +183,15 @@ class SGDConfig:
     #               otherwise missed the in-step fusion/overlap effects).
     #   "auto"    — scatter (the measured in-step winner on v5e).
     accumulate: str = "auto"
+    # Hybrid path only: scan this many staged batches per jitted dispatch
+    # (solvers/sgd_hybrid.py::make_hybrid_multi_step). Each dispatch on
+    # TPU pays a fixed launch/donation floor (~1.6 ms measured on v5e);
+    # grouping amortizes it — measured 1.28M -> 1.35M ex/s at the Criteo
+    # headline with 2 steps/dispatch. The update sequence is EXACTLY the
+    # single-step one (lax.scan is sequential); batches whose ladder
+    # plans land on different rungs are stepped singly (shape mismatch),
+    # so rung growth mid-epoch degrades gracefully.
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

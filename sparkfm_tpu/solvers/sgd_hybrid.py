@@ -206,7 +206,7 @@ def stack_batches(batches):
 
 
 def make_hybrid_multi_step(cfg: FMConfig, sgd_cfg: SGDConfig,
-                           group: int, segsum_force: str = "auto",
+                           group: int = 0, segsum_force: str = "auto",
                            bf16x2: bool = True):
     """G hybrid steps per dispatch via lax.scan over stacked batches.
 
@@ -218,8 +218,11 @@ def make_hybrid_multi_step(cfg: FMConfig, sgd_cfg: SGDConfig,
     the table dependency chains through).
 
     aux is the LAST step's aux plus "unique_overflow" OR-ed over the
-    group (an overflow anywhere must surface).
+    group (an overflow anywhere must surface). `group` is documentary —
+    scan takes its length from the stacked leading dim, so one built
+    multi-step serves any group size (each size compiles once).
     """
+    del group
     raw = make_hybrid_train_step(cfg, sgd_cfg, segsum_force, bf16x2,
                                  _jit=False)
 
@@ -228,7 +231,7 @@ def make_hybrid_multi_step(cfg: FMConfig, sgd_cfg: SGDConfig,
             s2, aux = raw(s, b)
             return s2, {"loss": aux["loss"],
                         "unique_overflow": aux["unique_overflow"]}
-        state, auxs = jax.lax.scan(body, state, stacked, length=group)
+        state, auxs = jax.lax.scan(body, state, stacked)
         return state, {
             "loss": auxs["loss"][-1],
             "loss_mean": jnp.mean(auxs["loss"]),

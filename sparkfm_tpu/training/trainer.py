@@ -172,30 +172,87 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         dedup_budget = sgd_cfg.unique_budget or "ladder"
         dedup_fill = cfg.num_features
 
+    # Hybrid multi-step: scan steps_per_dispatch staged batches per
+    # jitted call, amortizing the fixed ~1.6 ms/dispatch launch floor
+    # (solvers/sgd_hybrid.py::make_hybrid_multi_step; exact same update
+    # sequence). Only consecutive batches whose ladder plans share a
+    # rung group together; rung growth or tails fall back to singles.
+    group = (sgd_cfg.steps_per_dispatch
+             if path == "hybrid" and sgd_cfg.steps_per_dispatch > 1
+             else 1)
+    multi_fn = None
+    if group > 1:
+        from sparkfm_tpu.solvers import sgd_hybrid as _H
+        multi_fn = _H.make_hybrid_multi_step(cfg, sgd_cfg)
+        log.info("hybrid multi-step: %d steps/dispatch", group)
+
     n_examples = 0
     t0 = time.perf_counter()
     compile_time = 0.0
+    first_dispatch = [True]
     from sparkfm_tpu.data.batching import prefetch
     for epoch in range(start_epoch, sgd_cfg.epochs):
         losses = []
         overflows = []
-        for i, batch in enumerate(prefetch(batch_iterator(
-                train, sgd_cfg.batch_size,
-                shuffle=sgd_cfg.shuffle_each_epoch, seed=cfg.seed,
-                epoch=epoch, drop_remainder=False,
-                dedup_budget=dedup_budget, dedup_fill=dedup_fill))):
-            if epoch == 0 and i == 0:
-                tc = time.perf_counter()
-            state, aux = step_fn(state, batch)
-            if epoch == 0 and i == 0:
-                aux["loss"].block_until_ready()
-                compile_time = time.perf_counter() - tc
+        buf: List[SparseBatch] = []
+
+        def _record_compile(tc, scalar):
+            nonlocal compile_time
+            jax.block_until_ready(scalar)
+            compile_time = time.perf_counter() - tc
+            first_dispatch[0] = False
+
+        def dispatch_single(b):
+            nonlocal state
+            tc = time.perf_counter() if first_dispatch[0] else None
+            state, aux = step_fn(state, b)
+            if tc is not None:
+                _record_compile(tc, aux["loss"])
             losses.append(aux["loss"])
             if "unique_overflow" in aux:
                 overflows.append(jnp.asarray(aux["unique_overflow"],
                                              jnp.int32))
+
+        def dispatch_group(bs):
+            nonlocal state
+            stacked = _H.stack_batches(bs)
+            tc = time.perf_counter() if first_dispatch[0] else None
+            state, aux = multi_fn(state, stacked)
+            if tc is not None:
+                _record_compile(tc, aux["loss"])
+            # the group mean replicated len(bs) times keeps the epoch
+            # mean identical to per-batch logging
+            losses.extend([aux["loss_mean"]] * len(bs))
+            overflows.append(jnp.asarray(aux["unique_overflow"],
+                                         jnp.int32))
+
+        def flush():
+            if multi_fn is not None and len(buf) == group:
+                dispatch_group(list(buf))
+            else:
+                for b in buf:
+                    dispatch_single(b)
+            buf.clear()
+
+        def plan_shape(b):
+            return None if b.plan is None else b.plan.uids.shape
+
+        for batch in prefetch(batch_iterator(
+                train, sgd_cfg.batch_size,
+                shuffle=sgd_cfg.shuffle_each_epoch, seed=cfg.seed,
+                epoch=epoch, drop_remainder=False,
+                dedup_budget=dedup_budget, dedup_fill=dedup_fill)):
             n_examples += int(jnp.sum(batch.mask)) if batch.mask is not None \
                 else batch.batch_size
+            if group == 1:
+                dispatch_single(batch)
+                continue
+            if buf and plan_shape(buf[-1]) != plan_shape(batch):
+                flush()
+            buf.append(batch)
+            if len(buf) == group:
+                flush()
+        flush()
         rec = {"epoch": epoch,
                "train_loss": float(jnp.mean(jnp.stack(losses)))}
         if overflows:

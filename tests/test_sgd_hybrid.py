@@ -144,3 +144,29 @@ def test_multi_step_matches_sequential_steps():
     assert abs(float(maux["loss"]) - losses[-1]) < 1e-6
     assert abs(float(maux["loss_mean"]) - np.mean(losses)) < 1e-6
     assert not bool(maux["unique_overflow"])
+
+
+def test_trainer_steps_per_dispatch_matches_single():
+    """train_sgd with steps_per_dispatch=2 (hybrid multi-step grouping)
+    reproduces the single-step run's final params bit-for-bit."""
+    from sparkfm_tpu.config import FMConfig as FC, SGDConfig as SC
+    from sparkfm_tpu.training import trainer
+
+    ds = synth.synth_ctr(num_examples=1024, num_fields=5,
+                         num_buckets=1 << 17, seed=9)
+    cfg = FC(num_features=1 << 17, num_factors=4,
+             task=Task.CLASSIFICATION, reg_v=1e-4, seed=9)
+    common = dict(batch_size=128, learning_rate=0.1, optimizer="adagrad",
+                  epochs=2, shuffle_each_epoch=True,
+                  update_path="hybrid")
+    r1 = trainer.train_sgd(cfg, SC(**common), ds,
+                           key=jax.random.PRNGKey(9))
+    r2 = trainer.train_sgd(cfg, SC(steps_per_dispatch=2, **common), ds,
+                           key=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(r1.params.v),
+                                  np.asarray(r2.params.v))
+    np.testing.assert_array_equal(np.asarray(r1.params.w),
+                                  np.asarray(r2.params.w))
+    l1 = [h["train_loss"] for h in r1.history]
+    l2 = [h["train_loss"] for h in r2.history]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
