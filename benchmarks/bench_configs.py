@@ -158,7 +158,13 @@ def bench_ffm(hb):
     from sparkfm_tpu.solvers import sgd as sgd_solver
 
     fields = 22
-    buckets = 1 << 22
+    # 2^20, not the full Avazu 2^22: the single-device SGDState holds
+    # three table-size buffers (v + adagrad slot + adam slot2), and
+    # 3 x (2^22 x 22 x 8) f32 = ~9 GB OOMs a 16 GB v5e — the 2^22 config
+    # is the SHARDED config by design (BASELINE "multi-host all-to-all").
+    # Per-example step cost is bucket-count independent (dedup touches
+    # U unique rows), so this characterizes the same step.
+    buckets = int(os.environ.get("BENCH_BUCKETS", 1 << 20))
     rank = 8
     batch = int(os.environ.get("BENCH_BATCH", 8192))
     steps = int(os.environ.get("BENCH_STEPS", 20))

@@ -367,6 +367,69 @@ def _make_unique_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
     return call
 
 
+def _gather_masked_unique(params: FMParams, uids, count):
+    """Forward half shared by the global-exchange steps: psum'd unique
+    rows over `model`, masked past the valid count.
+
+    Returns (w_u, v_u, valid_u)."""
+    budget = uids.shape[0]
+    valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(count, budget)
+    w_u = _gather_rows(params.w, uids, M.MODEL_AXIS)
+    v_u = _gather_rows(params.v, uids, M.MODEL_AXIS)
+    w_u = jnp.where(valid_u, w_u, 0.0)
+    v_u = jnp.where(valid_u.reshape((-1,) + (1,) * (v_u.ndim - 1)),
+                    v_u, 0.0)
+    return w_u, v_u, valid_u
+
+
+def _apply_unique_acc(cfg: FMConfig, sgd_cfg: SGDConfig, state: SGDState,
+                      acc, uids, g_w0, dsum, total):
+    """Update half shared by the global-exchange steps: unpack the
+    psum'd (U_g, 2kf+2) per-unique sums, mask to owner rows, apply the
+    optimizer, update w0, and assemble the new state.
+
+    Returns (new_state, loss)."""
+    ffm = cfg.num_fields > 0
+    k = cfg.num_factors
+    kf = cfg.num_fields * k if ffm else k
+    p = state.params
+    rows_per_shard = p.w.shape[0]
+
+    mine, lids = _own_mask_and_lid(uids, rows_per_shard, M.MODEL_AXIS)
+    acc = jnp.where(mine[:, None], acc, 0.0)
+    g_v_u = acc[:, :kf]
+    g_w_u = acc[:, kf]
+    sq_v_u = acc[:, kf + 1:2 * kf + 1]
+    sq_w_u = acc[:, 2 * kf + 1]
+    if ffm:
+        g_v_u = g_v_u.reshape(-1, cfg.num_fields, k)
+        sq_v_u = sq_v_u.reshape(-1, cfg.num_fields, k)
+    if not cfg.use_linear:
+        g_w_u = jnp.zeros_like(g_w_u)
+        sq_w_u = jnp.zeros_like(sq_w_u)
+
+    lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
+    w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
+                               lids, g_w_u, sq_w_u)
+    v, sv = _unique_row_update(opt, lr, sgd_cfg, p.v, state.slot_v,
+                               lids, g_v_u, sq_v_u)
+
+    if cfg.use_bias:
+        w0, sw0, s2w0 = sgd_solver._dense_scalar_update(
+            opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
+            g_w0, state.step)
+    else:
+        w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
+
+    loss = jax.lax.psum(dsum, M.DATA_AXIS) / total
+    new_state = SGDState(
+        params=FMParams(w0=w0, w=w, v=v),
+        slot_w0=sw0, slot_w=sw, slot_v=sv,
+        slot2_w0=s2w0, slot2_w=state.slot2_w, slot2_v=state.slot2_v,
+        step=state.step + 1)
+    return new_state, loss
+
+
 def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
     """The global-plan exchange (make_sharded_train_step, "global").
 
@@ -392,7 +455,6 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
 
     def step(state: SGDState, batch: SparseBatch):
         p = state.params
-        rows_per_shard = p.w.shape[0]
         ids = batch.ids                            # (B/D, L) global ids
         n_loc = ids.shape[0] * ids.shape[1]
 
@@ -401,14 +463,9 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         count = batch.plan.count
         overflow = batch.plan.overflow
         budget = uids.shape[0]
-        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(count, budget)
 
         # ---- forward: ONE psum over `model` of masked UNIQUE rows
-        w_u = _gather_rows(p.w, uids, M.MODEL_AXIS)          # (U_g,)
-        v_u = _gather_rows(p.v, uids, M.MODEL_AXIS)          # (U_g,[nf,]k)
-        w_u = jnp.where(valid_u, w_u, 0.0)
-        v_u = jnp.where(valid_u.reshape((-1,) + (1,) * (v_u.ndim - 1)),
-                        v_u, 0.0)
+        w_u, v_u, _ = _gather_masked_unique(p, uids, count)
 
         vw_u = jnp.concatenate([v_u.reshape(budget, kf), w_u[:, None]],
                                axis=1)
@@ -438,36 +495,10 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         # ---- exchange: ONE psum over `data` (ranks aligned across shards)
         acc = jax.lax.psum(acc, M.DATA_AXIS)
 
-        mine, lids = _own_mask_and_lid(uids, rows_per_shard, M.MODEL_AXIS)
-        acc = jnp.where(mine[:, None], acc, 0.0)
-        g_v_u = acc[:, :kf]
-        g_w_u = acc[:, kf]
-        sq_v_u = acc[:, kf + 1:2 * kf + 1]
-        sq_w_u = acc[:, 2 * kf + 1]
-        if ffm:
-            g_v_u = g_v_u.reshape(-1, cfg.num_fields, k)
-            sq_v_u = sq_v_u.reshape(-1, cfg.num_fields, k)
-
-        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
-        w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
-                                   lids, g_w_u, sq_w_u)
-        v, sv = _unique_row_update(opt, lr, sgd_cfg, p.v, state.slot_v,
-                                   lids, g_v_u, sq_v_u)
-
-        if cfg.use_bias:
-            g_w0_glob = jax.lax.psum(g_w0, M.DATA_AXIS)
-            w0, sw0, s2w0 = sgd_solver._dense_scalar_update(
-                opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
-                g_w0_glob, state.step)
-        else:
-            w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
-
-        loss = jax.lax.psum(dsum, M.DATA_AXIS) / jnp.maximum(total, 1.0)
-        new_state = SGDState(
-            params=FMParams(w0=w0, w=w, v=v),
-            slot_w0=sw0, slot_w=sw, slot_v=sv,
-            slot2_w0=s2w0, slot2_w=state.slot2_w, slot2_v=state.slot2_v,
-            step=state.step + 1)
+        new_state, loss = _apply_unique_acc(
+            cfg, sgd_cfg, state, acc, uids,
+            g_w0=jax.lax.psum(g_w0, M.DATA_AXIS), dsum=dsum,
+            total=jnp.maximum(total, 1.0))
         aux = {"loss": loss, "unique_count": count,
                "unique_overflow": overflow}
         return new_state, aux
@@ -489,7 +520,6 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         from sparkfm_tpu.ops import pallas_segsum as SS
 
         p = state.params
-        rows_per_shard = p.w.shape[0]
         ids = batch.ids                            # (B/D, L)
         plan = batch.plan
         uids = plan.uids                           # (U_g,) replicated
@@ -502,13 +532,9 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         sex_d = plan.sex[0]
         gmap_d = plan.order[0]                     # (U_cap,)
         u_cap = gmap_d.shape[0]
-        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(count, budget)
 
         # ---- forward: psum'd unique rows + local spread (as step())
-        w_u = _gather_rows(p.w, uids, M.MODEL_AXIS)
-        v_u = _gather_rows(p.v, uids, M.MODEL_AXIS)
-        w_u = jnp.where(valid_u, w_u, 0.0)
-        v_u = jnp.where(valid_u[:, None], v_u, 0.0)
+        w_u, v_u, _ = _gather_masked_unique(p, uids, count)
         vw_u = jnp.concatenate([v_u, w_u[:, None]], axis=1)   # (U_g, k+1)
 
         vals = batch.vals
@@ -555,35 +581,11 @@ def _make_global_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         # ---- exchange: ONE psum over `data` (shared global rank space)
         acc = jax.lax.psum(acc, M.DATA_AXIS)
 
-        mine, lids = _own_mask_and_lid(uids, rows_per_shard, M.MODEL_AXIS)
-        acc = jnp.where(mine[:, None], acc, 0.0)
-        g_v_u, g_w_u = acc[:, :k], acc[:, k]
-        sq_v_u, sq_w_u = acc[:, k + 1:2 * k + 1], acc[:, 2 * k + 1]
-        if not cfg.use_linear:
-            g_w_u = jnp.zeros_like(g_w_u)
-            sq_w_u = jnp.zeros_like(sq_w_u)
-
-        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
-        w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
-                                   lids, g_w_u, sq_w_u)
-        v, sv = _unique_row_update(opt, lr, sgd_cfg, p.v, state.slot_v,
-                                   lids, g_v_u, sq_v_u)
-
-        if cfg.use_bias:
-            g_w0_glob = (jax.lax.psum(jnp.sum(ds), M.DATA_AXIS)
-                         + 2.0 * cfg.reg0 * p.w0)
-            w0, sw0, s2w0 = sgd_solver._dense_scalar_update(
-                opt, lr, sgd_cfg, p.w0, state.slot_w0, state.slot2_w0,
-                g_w0_glob, state.step)
-        else:
-            w0, sw0, s2w0 = p.w0, state.slot_w0, state.slot2_w0
-
-        loss = jax.lax.psum(dsum, M.DATA_AXIS) / denom_data
-        new_state = SGDState(
-            params=FMParams(w0=w0, w=w, v=v),
-            slot_w0=sw0, slot_w=sw, slot_v=sv,
-            slot2_w0=s2w0, slot2_w=state.slot2_w, slot2_v=state.slot2_v,
-            step=state.step + 1)
+        new_state, loss = _apply_unique_acc(
+            cfg, sgd_cfg, state, acc, uids,
+            g_w0=(jax.lax.psum(jnp.sum(ds), M.DATA_AXIS)
+                  + 2.0 * cfg.reg0 * p.w0),
+            dsum=dsum, total=denom_data)
         return new_state, {"loss": loss, "unique_count": count,
                            "unique_overflow": overflow}
 
