@@ -97,8 +97,9 @@ def bench_als(hb):
     rw, rv = cfg.reg_vectors() if cfg.feature_groups is not None else (
         cfg.reg_w, cfg.reg_v)
 
-    sweep = jax.jit(lambda p, w: A.als_sweep(
-        p, w, nb, cfg.num_features, cfg.reg0, rw, rv))
+    n_ranks = int(ws.present.shape[0])
+    sweep = jax.jit(lambda p, w: A.als_sweep_compact(
+        p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv))
     rpc = _rpc_latency(hb)
     hb("als: compiling sweep")
     params = sweep(params, ws)

@@ -718,6 +718,158 @@ def fm_grad_segsum_factored(vw_u: jnp.ndarray, ex_srt: jnp.ndarray,
     return jnp.concatenate([g_v, g_w, sq_v, sq_w], axis=1)
 
 
+def _segsum_streams_kernel(subtile: int, bf16x2: bool, n_streams: int,
+                           seg_smem, *refs):
+    """Streaming per-rank sums of ``n_streams`` 1-D value streams.
+
+    refs = (stream_0, ..., stream_{n-1}, seg_vmem, out_ref,
+            carry, prev_rl, buf, sem). Payload lane j of sorted slot i is
+    streams[j][i]; the reduction/carry discipline is _segsum_sq_kernel's.
+    1-D streams lay out densely in HBM (no (N, 1) 128x lane-padding tax),
+    which is the whole point — the ALS sweep's per-feature sums are
+    five scalar streams per coordinate block (solvers/als.py round 4).
+    """
+    streams = refs[:n_streams]
+    seg_vmem, out_ref, carry, prev_rl, buf, sem = refs[n_streams:]
+    t = seg_vmem.shape[0]
+    wout = carry.shape[1]
+    wpad = wout - n_streams
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        carry[...] = jnp.zeros_like(carry)
+        prev_rl[0] = -1
+
+    r0 = seg_smem[0]
+    n_sub = t // subtile
+
+    for si in range(n_sub):
+        s0 = si * subtile
+        rs0 = seg_smem[s0]
+        rsl = seg_smem[s0 + subtile - 1]
+        local = (seg_vmem[s0:s0 + subtile] - rs0).reshape(subtile, 1)
+
+        cols = [s[s0:s0 + subtile].reshape(subtile, 1) for s in streams]
+        gg = jnp.concatenate(
+            cols + [jnp.zeros((subtile, wpad), jnp.float32)], axis=1)
+
+        iota_rank = jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, subtile), 1)
+        m2 = (local == iota_rank)
+        if bf16x2:
+            m2b = m2.astype(jnp.bfloat16)
+            hi = gg.astype(jnp.bfloat16)
+            lo = (gg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            partial = jax.lax.dot_general(
+                m2b, hi, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            partial = partial + jax.lax.dot_general(
+                m2b, lo, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            partial = jax.lax.dot_general(
+                m2.astype(jnp.float32), gg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+        continuing = rs0 == prev_rl[0]
+        row0 = (jax.lax.broadcasted_iota(
+            jnp.int32, (subtile, 1), 0) == 0)
+        carry_in = jnp.where(continuing, 1.0, 0.0) * carry[...]
+        partial = partial + jnp.where(row0, 1.0, 0.0) * carry_in
+
+        last_mask = local == (rsl - rs0)
+        run_sum = jnp.sum(jnp.where(last_mask, gg, 0.0), axis=0,
+                          keepdims=True)
+        whole_one_run = jnp.logical_and(continuing, rsl == rs0)
+        carry[...] = run_sum + jnp.where(whole_one_run, 1.0, 0.0) * carry_in
+        prev_rl[0] = rsl
+
+        buf[pl.ds(rs0 - r0, subtile), :] = partial
+
+    cp = pltpu.make_async_copy(
+        buf.at[pl.ds(0, t)], out_ref.at[pl.ds(r0, t)], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_segments", "n_streams", "tile",
+                              "subtile", "bf16x2", "interpret"))
+def _segment_colsums_pallas(stacked: jnp.ndarray, seg: jnp.ndarray,
+                            num_segments: int, n_streams: int,
+                            tile: int = 1024, subtile: int = 256,
+                            bf16x2: bool = False,
+                            interpret: bool = False) -> jnp.ndarray:
+    n = seg.shape[0]
+    assert n % tile == 0 and tile % subtile == 0, (n, tile, subtile)
+    w_out = 128
+    kern = functools.partial(_segsum_streams_kernel, subtile, bf16x2,
+                             n_streams)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // tile,),
+        in_specs=[pl.BlockSpec((tile,), lambda i: (i,),
+                               memory_space=pltpu.SMEM)]      # seg scalars
+        + [pl.BlockSpec((tile,), lambda i, _j=j: (i,),
+                        memory_space=pltpu.VMEM)
+           for j in range(n_streams)]                         # streams 1-D
+        + [pl.BlockSpec((tile,), lambda i: (i,),
+                        memory_space=pltpu.VMEM)],            # seg 1-D
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((1, w_out), jnp.float32),              # carry
+            pltpu.SMEM((1,), jnp.int32),                      # prev_rl
+            pltpu.VMEM((tile, w_out), jnp.float32),           # buf window
+            pltpu.SemaphoreType.DMA,
+        ],
+        out_shape=jax.ShapeDtypeStruct((num_segments + tile, w_out),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seg, *[stacked[j] for j in range(n_streams)], seg)
+    return out[:num_segments, :n_streams]
+
+
+def segment_colsums(streams, seg: jnp.ndarray, num_segments: int,
+                    tile: int = 1024, subtile: int = 256,
+                    bf16x2: bool = False,
+                    force: str = "auto") -> jnp.ndarray:
+    """Per-rank sums of up to ~16 scalar streams: ([(N,)] * S, sorted
+    dense seg) -> (U, S). Column j = segment_sum(streams[j], seg).
+
+    The ALS sweep's per-feature reductions (solvers/als.py) reduce five
+    example-derived streams per coordinate block through this. seg must
+    be dense sorted ranks (step <= 1) for the Pallas path; force:
+    auto|pallas|xla|interpret (XLA fallback stacks the streams and
+    segment_sums — exact f32, and the non-TPU auto).
+    """
+    from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
+    streams = tuple(streams)
+    if force == "xla" or (force == "auto" and not use_pallas_rowio()):
+        packed = jnp.stack(streams, axis=1)
+        return jax.ops.segment_sum(packed, seg,
+                                   num_segments=num_segments,
+                                   indices_are_sorted=True)
+    interpret = force == "interpret"
+    n = seg.shape[0]
+    pad_n = (-n) % tile
+    if pad_n:
+        streams = tuple(
+            jnp.concatenate([s, jnp.zeros((pad_n,), s.dtype)])
+            for s in streams)
+        seg = jnp.concatenate([seg, jnp.broadcast_to(seg[-1:], (pad_n,))])
+    out = _segment_colsums_pallas(
+        tuple(s.astype(jnp.float32) for s in streams),
+        seg.astype(jnp.int32), num_segments, len(streams),
+        tile=tile, subtile=subtile, bf16x2=bf16x2, interpret=interpret)
+    rank = jax.lax.iota(jnp.int32, num_segments)
+    valid = jnp.logical_and(rank >= seg[0], rank <= seg[-1])
+    return jnp.where(valid[:, None], out, 0.0)
+
+
 def segment_rowsum(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
                    tile: int = 1024, force: str = "auto") -> jnp.ndarray:
     # tile=1024 keeps the seg SMEM block on XLA's s32 1-D {0:T(1024)}

@@ -81,6 +81,20 @@ class ALSWorkspace:
     # the bias update needs it: padded rows have all-zero vals so they
     # contribute exactly zero to every per-feature sum already.
     mask: jnp.ndarray = None
+    # Round-4 compact-sweep fields (single-device build_workspace only;
+    # the sharded builder leaves them None and uses _sweep_impl):
+    #   col_rank: (nnz,) dense rank of col_feat among PRESENT features —
+    #             sorted, step <= 1: the pallas_segsum.segment_colsums
+    #             contract, so per-feature sums stream instead of
+    #             scatter-adding (~20 ms -> ~2 ms per pass at 1M nnz).
+    #   present:  (Fp,) int32 present feature ids (rank r <-> feature
+    #             present[r]); absent features never update.
+    # The retired CSR fields ids/vals are REPURPOSED by the compact
+    # sweep: ids holds the (N, L) compact RANKS per slot and vals the
+    # (N, L) values — per-example sums (q, score, e/q patches) become
+    # contiguous row reductions instead of by-example scatter-adds.
+    col_rank: Optional[jnp.ndarray] = None
+    present: Optional[jnp.ndarray] = None
 
 
 def build_workspace(ds: SparseDataset, cfg: FMConfig,
@@ -110,14 +124,31 @@ def build_workspace(ds: SparseDataset, cfg: FMConfig,
     den_w = np.zeros((f,), np.float32)
     np.add.at(den_w, col_feat, col_val ** 2)
 
+    # Compact rank space for the round-4 factored sweep: dense rank of
+    # each sorted CSC entry + the (N, L) CSR view in rank space. Both are
+    # free on the host (the sort already happened) and let the sweep
+    # stream its per-feature sums (segment_colsums) and row-reduce its
+    # per-example sums instead of scatter-adding either.
+    boundary = np.empty(col_feat.shape[0], bool)
+    boundary[0] = True
+    boundary[1:] = col_feat[1:] != col_feat[:-1]
+    col_rank = (np.cumsum(boundary) - 1).astype(np.int32)
+    present = col_feat[boundary].astype(np.int32)
+    rank_of_feat = np.zeros((f,), np.int32)
+    rank_of_feat[present] = np.arange(len(present), dtype=np.int32)
+    rank_csr = rank_of_feat[ds.ids]
+
     ws = ALSWorkspace(
-        ids=None, vals=None,               # sweep is CSC-only; no CSR copy
+        ids=jnp.asarray(rank_csr),          # (N, L) compact ranks (CSR)
+        vals=jnp.asarray(ds.vals.astype(np.float32)),
         y=jnp.asarray(ds.y),
         col_feat=jnp.asarray(col_feat), col_row=jnp.asarray(col_row),
         col_val=jnp.asarray(col_val),
         block_of_feat=jnp.asarray(block_of_feat),
         den_w=jnp.asarray(den_w),
-        mask=jnp.ones((n,), jnp.float32))
+        mask=jnp.ones((n,), jnp.float32),
+        col_rank=jnp.asarray(col_rank),
+        present=jnp.asarray(present))
     return ws, num_blocks
 
 
@@ -251,6 +282,150 @@ def _sweep_impl(params: FMParams, ws: ALSWorkspace, num_blocks: int,
     return FMParams(w0=w0_new, w=w_new, v=v_new)
 
 
+def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
+                   num_ranks: int, reg0: float, reg_w, reg_v,
+                   use_bias: bool = True, use_linear: bool = True
+                   ) -> FMParams:
+    """Round-4 factored compact sweep — same math as _sweep_impl, ~5x
+    faster on TPU. Three structural changes:
+
+      1. COMPACT RANK SPACE: all per-feature state (w, v, den, reg,
+         block ids) lives in (Fp,) present-feature space for the whole
+         sweep; params expand back once at the end (absent features
+         never change — the den > 0 guard already enforced that).
+      2. FACTORED per-feature sums: h = x(q − x·v_f) has v_f CONSTANT
+         within a feature column, so Σe·h and Σh² decompose into five
+         EXAMPLE-derived streams
+             num = Σexq − v·Σex²
+             den = Σx²q² − 2v·Σx³q + v²·Σx⁴   (clamped at 0)
+         reduced in ONE streaming pass over the sorted CSC view
+         (ops/pallas_segsum.py::segment_colsums, dense col_rank) — no
+         per-feature scatter-add, no v gather into the stream.
+      3. CSR-ROW per-example sums: q, the forward score, and every e/q
+         patch are (N, L) rank-space gathers + contiguous row
+         reductions instead of by-example scatter-adds (ws.ids/ws.vals
+         carry the rank-space CSR view).
+
+    Measured (v5e, ML-25M shape, N=500K, rank 32, 2 slot blocks):
+    7.7 s -> ~1.5 s per sweep; see docs/PERF.md.
+    """
+    from sparkfm_tpu.ops import pallas_segsum as SS
+
+    Fp = num_ranks
+    K = params.v.shape[-1]
+    present = ws.present
+    rank_csr = ws.ids                                   # (N, L)
+    vals_csr = ws.vals                                  # (N, L)
+    col_rank = ws.col_rank
+    col_row = ws.col_row
+    x = ws.col_val
+    x2 = x * x
+    x3 = x2 * x
+    x4 = x2 * x2
+
+    w_c = params.w[present]
+    v_c = params.v[present]                             # (Fp, K)
+    den_w_c = ws.den_w[present]
+    block_c = ws.block_of_feat[present]
+    rw_c = reg_w[present] if jnp.ndim(reg_w) else reg_w
+    rv_c = reg_v[present] if jnp.ndim(reg_v) else reg_v
+    mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
+
+    # ---- forward score from the rank-space CSR view (one batched pass
+    # over all K factors; replaces the K-iteration fori of _sweep_impl)
+    v_rows = v_c[rank_csr]                              # (N, L, K)
+    vx = v_rows * vals_csr[..., None]
+    s = jnp.sum(vx, axis=1)                             # (N, K)
+    ssq = jnp.sum(jnp.square(vx), axis=(1, 2))
+    score = 0.5 * (jnp.sum(jnp.square(s), axis=-1) - ssq)
+    if use_linear:
+        score = score + jnp.sum(w_c[rank_csr] * vals_csr, axis=1)
+    if use_bias:
+        score = score + params.w0
+    e = score - ws.y
+
+    # ---- global bias
+    if use_bias:
+        w0_new = _guarded_theta(params.w0, jnp.sum(e * mask),
+                                jnp.sum(mask), reg0)
+        e = e + (w0_new - params.w0)
+    else:
+        w0_new = params.w0
+
+    # ---- linear weights, blocked
+    def w_block(b, carry):
+        w_c, e = carry
+        num = SS.segment_colsums([e[col_row] * x], col_rank, Fp)[:, 0]
+        theta = _guarded_theta(w_c, num, den_w_c, rw_c)
+        delta = jnp.where(block_c == b, theta - w_c, 0.0)
+        de = jnp.sum(delta[rank_csr] * vals_csr, axis=1)
+        return (w_c + delta, e + de)
+
+    if use_linear:
+        w_c, e = jax.lax.fori_loop(0, num_blocks, w_block, (w_c, e))
+
+    # ---- factors
+    def factor_body(f, carry):
+        v_c_all, e = carry
+        vf0 = v_c_all[:, f]                             # (Fp,)
+        q0 = jnp.sum(vf0[rank_csr] * vals_csr, axis=1)  # (N_ex,)
+
+        def v_block(b, c2):
+            vf, q, e = c2
+            # ONE 2-lane gather for both example-side streams (1-lane
+            # gathers are op-bound ~10 ns/el; pairing halves the count)
+            eq = jnp.stack([e, q], axis=1)[col_row]     # (nnz, 2)
+            e_csc = eq[:, 0]
+            q_csc = eq[:, 1]
+            exq = e_csc * x * q_csc
+            sums = SS.segment_colsums(
+                [exq, e_csc * x2, x2 * q_csc * q_csc, x3 * q_csc, x4],
+                col_rank, Fp)                           # (Fp, 5)
+            num = sums[:, 0] - vf * sums[:, 1]
+            den = jnp.maximum(
+                sums[:, 2] - 2.0 * vf * sums[:, 3]
+                + jnp.square(vf) * sums[:, 4], 0.0)
+            theta = _guarded_theta(vf, num, den, rv_c)
+            in_b = block_c == b
+            delta = jnp.where(in_b, theta - vf, 0.0)
+            vf_new = vf + delta
+            dsq = jnp.where(in_b, jnp.square(vf_new) - jnp.square(vf),
+                            0.0)
+            # ONE paired gather for both patch streams
+            dd = jnp.stack([delta, dsq], axis=1)[rank_csr]  # (N, L, 2)
+            dq = jnp.sum(dd[..., 0] * vals_csr, axis=1)
+            q_new = q + dq
+            de_sq = jnp.sum(dd[..., 1] * jnp.square(vals_csr), axis=1)
+            e_new = (e + 0.5 * (jnp.square(q_new) - jnp.square(q))
+                     - 0.5 * de_sq)
+            return (vf_new, q_new, e_new)
+
+        vf, q, e = jax.lax.fori_loop(0, num_blocks, v_block,
+                                     (vf0, q0, e))
+        return (v_c_all.at[:, f].set(vf), e)
+
+    v_c, e = jax.lax.fori_loop(0, K, factor_body, (v_c, e))
+
+    # ---- expand back to feature space (absent rows untouched)
+    w_new = params.w.at[present].set(w_c) if use_linear else params.w
+    v_new = params.v.at[present].set(v_c)
+    return FMParams(w0=w0_new, w=w_new, v=v_new)
+
+
+@partial(jax.jit, static_argnames=("num_blocks", "num_features",
+                                   "num_ranks", "reg0", "use_bias",
+                                   "use_linear"))
+def als_sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
+                      num_features: int, num_ranks: int, reg0: float,
+                      reg_w, reg_v, use_bias: bool = True,
+                      use_linear: bool = True) -> FMParams:
+    """Jitted compact sweep (see _sweep_compact). Requires a workspace
+    from :func:`build_workspace` (col_rank/present/CSR rank views)."""
+    del num_features
+    return _sweep_compact(params, ws, num_blocks, num_ranks, reg0,
+                          reg_w, reg_v, use_bias, use_linear)
+
+
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
                                    "reg0", "use_bias", "use_linear"))
 def als_sweep(params: FMParams, ws: ALSWorkspace, num_blocks: int,
@@ -360,10 +535,17 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
     import time
     n_examples = 0
     t0 = time.perf_counter()
+    n_ranks = int(ws.present.shape[0]) if ws.present is not None else 0
     for epoch in range(als_cfg.epochs):
-        params = als_sweep(params, ws, num_blocks, cfg.num_features,
-                           cfg.reg0, reg_w_vec, reg_v_vec,
-                           cfg.use_bias, cfg.use_linear)
+        if n_ranks:
+            params = als_sweep_compact(
+                params, ws, num_blocks, cfg.num_features, n_ranks,
+                cfg.reg0, reg_w_vec, reg_v_vec, cfg.use_bias,
+                cfg.use_linear)
+        else:
+            params = als_sweep(params, ws, num_blocks, cfg.num_features,
+                               cfg.reg0, reg_w_vec, reg_v_vec,
+                               cfg.use_bias, cfg.use_linear)
         n_examples += train.num_examples
         rec = {"epoch": epoch}
         if eval_ds is not None and (epoch % eval_every == 0

@@ -2,7 +2,10 @@
 (block_size=1 makes the blocked schedule degenerate to the reference's
 sequential order), plus convergence of the blocked schedule."""
 
+import dataclasses
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -155,3 +158,56 @@ def test_hbm_budget_check_raises_clearly(monkeypatch):
         A.train_als(cfg, ALSConfig(epochs=1), ds)
     monkeypatch.setenv("SPARKFM_HBM_BUDGET", str(int(need * 100)))
     A.train_als(cfg, ALSConfig(epochs=1), ds)   # passes under the budget
+
+
+def test_compact_sweep_matches_reference_sweep():
+    """The round-4 factored compact sweep (als_sweep_compact: rank-space
+    state, factored num/den streams, CSR-row patches) computes the same
+    coordinate updates as the direct _sweep_impl."""
+    from sparkfm_tpu.solvers.als import (ALSConfig, build_workspace,
+                                         als_sweep, als_sweep_compact,
+                                         slot_blocks)
+
+    ds = synth.synth_movielens(num_users=40, num_items=60,
+                               num_examples=1500, seed=41)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=4,
+                   reg_w=0.1, reg_v=0.5, seed=41)
+    ws, nb = build_workspace(ds, cfg, ALSConfig(
+        feature_blocks=slot_blocks(ds)))
+    params0 = fm_model.init_params(cfg, jax.random.PRNGKey(41))
+    rw, rv = (jnp.asarray(x) for x in cfg.reg_vectors())
+    n_ranks = int(ws.present.shape[0])
+
+    pa = pb = params0
+    for _ in range(3):
+        pa = als_sweep(pa, ws, nb, cfg.num_features, cfg.reg0, rw, rv)
+        pb = als_sweep_compact(pb, ws, nb, cfg.num_features, n_ranks,
+                               cfg.reg0, rw, rv)
+    np.testing.assert_allclose(np.asarray(pa.v), np.asarray(pb.v),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pa.w), np.asarray(pb.w),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(pa.w0), float(pb.w0), rtol=1e-5)
+
+
+def test_compact_sweep_leaves_absent_features_untouched():
+    from sparkfm_tpu.solvers.als import (ALSConfig, build_workspace,
+                                         als_sweep_compact, slot_blocks)
+
+    ds = synth.synth_movielens(num_users=10, num_items=12,
+                               num_examples=200, seed=5)
+    # widen num_features beyond what the data touches
+    cfg = FMConfig(num_features=ds.num_features + 7, num_factors=3,
+                   reg_v=0.5, seed=5)
+    ds2 = dataclasses.replace(ds, num_features=cfg.num_features)
+    ws, nb = build_workspace(ds2, cfg, ALSConfig(
+        feature_blocks=slot_blocks(ds2)))
+    params0 = fm_model.init_params(cfg, jax.random.PRNGKey(5))
+    rw, rv = (jnp.asarray(x) for x in cfg.reg_vectors())
+    p = als_sweep_compact(params0, ws, nb, cfg.num_features,
+                          int(ws.present.shape[0]), cfg.reg0, rw, rv)
+    absent = np.setdiff1d(np.arange(cfg.num_features),
+                          np.asarray(ws.present))
+    assert absent.size > 0
+    np.testing.assert_array_equal(np.asarray(p.v)[absent],
+                                  np.asarray(params0.v)[absent])

@@ -242,3 +242,21 @@ def test_fm_grad_factored_pad_and_boundaries():
     np.testing.assert_allclose(
         np.asarray(out), _fm_grad_ref(vw_u[seg], ex, x, seg, u, cv, cw),
         rtol=1e-4, atol=1e-4)
+
+
+def test_segment_colsums_matches_numpy():
+    rng = np.random.default_rng(31)
+    n = 90
+    incr = rng.integers(0, 2, n); incr[0] = 0
+    seg = np.cumsum(incr).astype(np.int32)
+    u = int(seg[-1]) + 3
+    streams = [rng.normal(size=n).astype(np.float32) for _ in range(5)]
+    ref = np.zeros((u, 5), np.float64)
+    for j, s in enumerate(streams):
+        np.add.at(ref[:, j], seg, s.astype(np.float64))
+    for force, tol in (("xla", 1e-5), ("interpret", 1e-5)):
+        out = S.segment_colsums(
+            [jnp.asarray(s) for s in streams], jnp.asarray(seg), u,
+            tile=16, subtile=8, force=force)
+        np.testing.assert_allclose(np.asarray(out), ref.astype(np.float32),
+                                   rtol=tol, atol=tol)
