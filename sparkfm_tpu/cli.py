@@ -277,6 +277,13 @@ def cmd_movielens_demo(args) -> int:
     return 0
 
 
+def cmd_verify_data(args) -> int:
+    from sparkfm_tpu.data import verify as V
+    rep = V.verify(args.path, dataset=args.dataset, quick=args.quick)
+    print(json.dumps(rep, indent=2))
+    return 0 if rep["ok"] else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sparkfm_tpu",
                                 description=__doc__,
@@ -386,6 +393,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "stdout)")
     pr.add_argument("--batch-size", type=int, default=8192)
     pr.set_defaults(fn=cmd_predict)
+
+    vd = sub.add_parser(
+        "verify-data",
+        help="verify a mounted real dataset file (format + published row "
+             "counts) and print the BASELINE quality-gate reproduction "
+             "command — the zero-egress onboarding gate (data/verify.py)")
+    vd.add_argument("path", help="dataset file (u.data, ratings.dat, "
+                                 "ratings.csv, train.txt, train.csv)")
+    vd.add_argument("--dataset", choices=["ml-100k", "ml-1m", "ml-25m",
+                                          "criteo", "avazu"],
+                    help="override filename-based detection")
+    vd.add_argument("--quick", action="store_true",
+                    help="format-check the first 100K rows only (skip "
+                         "the full row count)")
+    vd.set_defaults(fn=cmd_verify_data)
 
     d = sub.add_parser("movielens-demo",
                        help="the reference driver's canonical ALS flow")
