@@ -238,6 +238,36 @@ def _parse_mesh(mesh, exchange: str = "auto"):
                      f"got {mesh!r}")
 
 
+def _coordinate_mesh(mesh):
+    """ALS/MCMC shard EXAMPLES over `data` with replicated params; an
+    exchange pin has no meaning there — honor-or-reject."""
+    from jax.sharding import Mesh as _Mesh
+
+    from sparkfm_tpu.config import MeshConfig
+    from sparkfm_tpu.parallel import mesh as _M
+    if isinstance(mesh, MeshConfig):
+        if mesh.exchange != "auto":
+            raise ValueError(
+                "exchange= applies to the sharded SGD/DeepFM paths; "
+                "ALS/MCMC shard examples with replicated parameters "
+                f"(got exchange={mesh.exchange!r})")
+        return _M.mesh_from_config(mesh)
+    assert isinstance(mesh, _Mesh)
+    return mesh
+
+
+def _als_mesh(cfg, als_cfg, train, eval_ds, eval_every, key, mesh):
+    from sparkfm_tpu.parallel.sharded_als import train_als_sharded
+    return train_als_sharded(cfg, als_cfg, train, _coordinate_mesh(mesh),
+                             eval_ds, eval_every, key)
+
+
+def _mcmc_mesh(cfg, mcmc_cfg, train, eval_ds, key, mesh):
+    from sparkfm_tpu.parallel.sharded_als import train_mcmc_sharded
+    return train_mcmc_sharded(cfg, mcmc_cfg, train,
+                              _coordinate_mesh(mesh), eval_ds, key)
+
+
 def _cfg_to_json(cfg: FMConfig) -> dict:
     d = dataclasses.asdict(cfg)
     d["task"] = cfg.task.value
@@ -374,11 +404,12 @@ class FM:
         materialize first (the reference's 'Method 1').
         """
         from sparkfm_tpu.data.relational import RelationalDataset
-        if self.mesh is not None and (self.solver != "sgd"
+        if self.mesh is not None and (self.solver not in ("sgd", "als",
+                                                          "mcmc")
                                       or isinstance(train,
                                                     RelationalDataset)):
-            raise ValueError("mesh training currently supports solver='sgd' "
-                             "(FM or DeepFM) on a SparseDataset "
+            raise ValueError("mesh training supports solver='sgd' (FM or "
+                             "DeepFM), 'als' or 'mcmc' on a SparseDataset "
                              "(materialize relational data first)")
         if self.model == "deepfm":
             if self.solver != "sgd":
@@ -455,8 +486,12 @@ class FM:
             # relational data), and faster (max_nnz blocks per sweep).
             als_cfg = ALSConfig(epochs=self.max_iter,
                                 feature_blocks=slot_blocks(train))
-            res = train_als(cfg, als_cfg, train, eval_ds, self.eval_every,
-                            key)
+            if self.mesh is not None:
+                res = _als_mesh(cfg, als_cfg, train, eval_ds,
+                                self.eval_every, key, self.mesh)
+            else:
+                res = train_als(cfg, als_cfg, train, eval_ds,
+                                self.eval_every, key)
         elif self.solver == "mcmc":
             from sparkfm_tpu.config import MCMCConfig
             from sparkfm_tpu.solvers.mcmc import train_mcmc
@@ -464,7 +499,11 @@ class FM:
             mcmc_cfg = MCMCConfig(epochs=self.max_iter,
                                   burn_in=max(1, self.max_iter // 10),
                                   feature_blocks=slot_blocks(train))
-            res = train_mcmc(cfg, mcmc_cfg, train, eval_ds, key)
+            if self.mesh is not None:
+                res = _mcmc_mesh(cfg, mcmc_cfg, train, eval_ds, key,
+                                 self.mesh)
+            else:
+                res = train_mcmc(cfg, mcmc_cfg, train, eval_ds, key)
         else:
             raise ValueError(f"unknown solver {self.solver!r}")
         return FMModel(params=res.params, cfg=cfg, history=res.history,

@@ -155,3 +155,109 @@ def train_als_sharded(cfg: FMConfig, als_cfg: ALSConfig,
     eps = n_examples / max(time.perf_counter() - t0, 1e-9)
     return _trainer.TrainResult(params=params, history=history,
                                 examples_per_sec=eps)
+
+
+def make_sharded_mcmc_sweep(cfg: FMConfig, mcmc_cfg, num_blocks: int,
+                            mesh: Mesh, groups, num_groups: int):
+    """shard_map'd Gibbs sweep (solvers/mcmc.py::mcmc_sweep with
+    axis_name): examples sharded over `data`, MCMCState + PRNG key
+    replicated — every shard draws identical samples from the psum'd
+    conditionals, so the chain equals the single-device chain (up to
+    float summation order)."""
+    from sparkfm_tpu.models.fm import FMParams as _FP
+    from sparkfm_tpu.solvers import mcmc as mcmc_solver
+    from sparkfm_tpu.solvers.mcmc import MCMCState
+
+    ws_specs = ALSWorkspace(
+        ids=P(M.DATA_AXIS, None), vals=P(M.DATA_AXIS, None),
+        y=P(M.DATA_AXIS), col_feat=P(M.DATA_AXIS), col_row=P(M.DATA_AXIS),
+        col_val=P(M.DATA_AXIS), block_of_feat=P(), den_w=P(),
+        mask=P(M.DATA_AXIS))
+    st_specs = MCMCState(params=_FP(w0=P(), w=P(), v=P()),
+                         alpha=P(), lam_w=P(), mu_w=P(),
+                         lam_v=P(), mu_v=P())
+
+    def sweep(state, ws, key):
+        return mcmc_solver.mcmc_sweep(
+            state, ws, key, num_blocks, cfg.num_features,
+            groups=groups, num_groups=num_groups,
+            alpha_0=mcmc_cfg.alpha_0, beta_0=mcmc_cfg.beta_0,
+            alpha_l=mcmc_cfg.alpha_lambda, beta_l=mcmc_cfg.beta_lambda,
+            mu_0=mcmc_cfg.mu_0, gamma_0=mcmc_cfg.gamma_0,
+            use_bias=cfg.use_bias, use_linear=cfg.use_linear,
+            axis_name=M.DATA_AXIS)
+
+    sharded = shard_map(sweep, mesh=mesh,
+                        in_specs=(st_specs, ws_specs, P()),
+                        out_specs=st_specs, check_vma=False)
+    return jax.jit(sharded)
+
+
+def train_mcmc_sharded(cfg: FMConfig, mcmc_cfg, train: SparseDataset,
+                       mesh: Mesh,
+                       eval_ds: Optional[SparseDataset] = None,
+                       key: Optional[jax.Array] = None):
+    """Sharded Gibbs training loop: same posterior-mean evaluation
+    contract as solvers/mcmc.py::train_mcmc."""
+    import time
+
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.solvers import mcmc as mcmc_solver
+    from sparkfm_tpu.training import trainer as _trainer
+
+    if cfg.task != Task.REGRESSION:
+        raise ValueError("MCMC-FM optimizes squared loss; use SGD for "
+                         "classification")
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    k_init, key = jax.random.split(key)
+    params = fm_model.init_params(cfg, k_init)
+    ws, num_blocks = build_sharded_workspace(
+        train, cfg, ALSConfig(block_size=mcmc_cfg.block_size,
+                              feature_blocks=mcmc_cfg.feature_blocks),
+        mesh)
+    num_groups = cfg.num_groups
+    groups = (jnp.asarray(np.asarray(cfg.feature_groups, np.int32))
+              if cfg.feature_groups is not None
+              else jnp.zeros((cfg.num_features,), jnp.int32))
+    state = mcmc_solver.init_mcmc_state(params, num_groups)
+    rep = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+    state = jax.tree_util.tree_map(rep, state)
+    sweep = make_sharded_mcmc_sweep(cfg, mcmc_cfg, num_blocks, mesh,
+                                    groups, num_groups)
+
+    score_fn = _trainer._eval_scores_fn(cfg)
+    avg_scores = None
+    n_avg = 0
+    history = []
+    n_examples = 0
+    t0 = time.perf_counter()
+    for epoch in range(mcmc_cfg.epochs):
+        key, k_sweep = jax.random.split(key)
+        state = sweep(state, ws, rep(k_sweep))
+        n_examples += train.num_examples
+        rec = {"epoch": epoch, "alpha": float(state.alpha),
+               "lam_w": float(jnp.mean(state.lam_w))}
+        if eval_ds is not None and epoch >= mcmc_cfg.burn_in:
+            from sparkfm_tpu.data.batching import batch_iterator
+            scores = []
+            for b in batch_iterator(eval_ds, 8192, shuffle=False):
+                s = score_fn(state.params, b.ids, b.vals, b.field_ids)
+                scores.append(
+                    np.asarray(s)[:int(np.sum(np.asarray(b.mask)))])
+            s = np.concatenate(scores)
+            n_avg += 1
+            avg_scores = (s if avg_scores is None
+                          else avg_scores + (s - avg_scores) / n_avg)
+            y = eval_ds.y[:len(avg_scores)]
+            rec["eval_rmse_avg"] = float(
+                np.sqrt(np.mean(np.square(avg_scores - y))))
+            rec["eval_rmse_sample"] = float(
+                np.sqrt(np.mean(np.square(s - y))))
+        history.append(rec)
+    jax.block_until_ready(state.params.v)
+    eps = n_examples / max(time.perf_counter() - t0, 1e-9)
+    result = _trainer.TrainResult(params=state.params, history=history,
+                                  examples_per_sec=eps)
+    result.extras = {"avg_scores": avg_scores, "mcmc_state": state}
+    return result

@@ -97,14 +97,15 @@ def _gamma(key, shape_param, rate):
                                    "num_groups",
                                    "use_bias", "use_linear",
                                    "alpha_0", "beta_0", "alpha_l", "beta_l",
-                                   "mu_0", "gamma_0"))
+                                   "mu_0", "gamma_0", "axis_name"))
 def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
                num_blocks: int, num_features: int,
                groups: jnp.ndarray = None, num_groups: int = 1,
                alpha_0: float = 1.0, beta_0: float = 1.0,
                alpha_l: float = 1.0, beta_l: float = 1.0,
                mu_0: float = 0.0, gamma_0: float = 1.0,
-               use_bias: bool = True, use_linear: bool = True) -> MCMCState:
+               use_bias: bool = True, use_linear: bool = True,
+               axis_name: Optional[str] = None) -> MCMCState:
     """One full Gibbs sweep: hyperparameters, w0, w blocks, (factor, block)
     draws, with exact residual/q patching between blocks.
 
@@ -112,15 +113,26 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
     hyperpriors (lambda, mu) are sampled per group (and per factor column
     for V) — libFM's grouped structure, covering the reference's Metadata
     capability. w0 rides group 0.
+
+    With ``axis_name`` (sharded mode, parallel/sharded_als.py::
+    train_mcmc_sharded): examples shard over that mesh axis; every
+    EXAMPLE-space reduction (n, Σe², Σe, per-feature num/den) is psum'd
+    and den_w arrives pre-divided by the shard count, exactly the
+    discipline of als._sweep_impl. Parameters and the PRNG key stay
+    replicated, so every shard draws IDENTICAL samples from identical
+    psum'd conditionals — the chain is the single-device chain.
     """
     params = state.params
     F = num_features
     G = num_groups
     K = params.v.shape[-1]
+    allr = ((lambda x: jax.lax.psum(x, axis_name)) if axis_name
+            else (lambda x: x))
     if groups is None:
         groups = jnp.zeros((F,), jnp.int32)
     mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
-    n_valid = jnp.sum(mask)
+    n_valid = allr(jnp.sum(mask))
+    den_w_g = allr(ws.den_w)
 
     # residuals from the CSC view alone (the workspace carries no CSR
     # copy — solvers/als.py::build_workspace, VERDICT r2 weak #8)
@@ -151,7 +163,7 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
 
     # --- noise precision
     alpha = _gamma(k_alpha, alpha_0 + 0.5 * n_valid,
-                   beta_0 + 0.5 * jnp.sum(jnp.square(e)))
+                   beta_0 + 0.5 * allr(jnp.sum(jnp.square(e))))
 
     ones_f = jnp.ones((F,), jnp.float32)
     cnt_g = jax.ops.segment_sum(ones_f, groups, num_segments=G)  # (G,)
@@ -189,7 +201,7 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
 
     # --- w0 (group 0, h == 1)
     if use_bias:
-        w0_new = _draw_theta(k_w0, params.w0, jnp.sum(e),
+        w0_new = _draw_theta(k_w0, params.w0, allr(jnp.sum(e)),
                              n_valid, alpha, lam_w[0], mu_w[0])
         e = e + (w0_new - params.w0) * mask
     else:
@@ -199,9 +211,10 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
     def w_block(b, carry):
         w, e = carry
         kb = jax.random.fold_in(k_w, b)
-        num = jax.ops.segment_sum(e[ws.col_row] * ws.col_val, ws.col_feat,
-                                  num_segments=F, indices_are_sorted=True)
-        theta_new = _draw_theta(kb, w, num, ws.den_w, alpha, lam_w_f,
+        num = allr(jax.ops.segment_sum(
+            e[ws.col_row] * ws.col_val, ws.col_feat,
+            num_segments=F, indices_are_sorted=True))
+        theta_new = _draw_theta(kb, w, num, den_w_g, alpha, lam_w_f,
                                 mu_w_f)
         delta = jnp.where(ws.block_of_feat == b, theta_new - w, 0.0)
         w = w + delta
@@ -224,11 +237,12 @@ def mcmc_sweep(state: MCMCState, ws: ALSWorkspace, key: jax.Array,
             vf, q, e = carry2
             kb = jax.random.fold_in(jax.random.fold_in(k_v, f), b)
             h = ws.col_val * (q[ws.col_row] - ws.col_val * vf[ws.col_feat])
-            num = jax.ops.segment_sum(e[ws.col_row] * h, ws.col_feat,
-                                      num_segments=F,
-                                      indices_are_sorted=True)
-            den = jax.ops.segment_sum(h * h, ws.col_feat, num_segments=F,
-                                      indices_are_sorted=True)
+            num = allr(jax.ops.segment_sum(
+                e[ws.col_row] * h, ws.col_feat,
+                num_segments=F, indices_are_sorted=True))
+            den = allr(jax.ops.segment_sum(
+                h * h, ws.col_feat, num_segments=F,
+                indices_are_sorted=True))
             theta_new = _draw_theta(kb, vf, num, den, alpha,
                                     lam_v[groups, f], mu_v[groups, f])
             in_block = ws.block_of_feat == b

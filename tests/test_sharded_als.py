@@ -78,3 +78,48 @@ def test_train_als_sharded_converges(ratings):
     rmses = [h["eval_rmse"] for h in res.history if "eval_rmse" in h]
     assert rmses[-1] < 0.45
     assert rmses[-1] <= rmses[0]
+
+
+def test_sharded_mcmc_matches_single_device():
+    """The shard_map'd Gibbs sweep (replicated key, psum'd conditionals)
+    reproduces the single-device chain."""
+    from sparkfm_tpu.config import MCMCConfig
+    from sparkfm_tpu.parallel.sharded_als import train_mcmc_sharded
+    from sparkfm_tpu.solvers.als import slot_blocks
+    from sparkfm_tpu.solvers.mcmc import train_mcmc
+
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=960, seed=51)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=3, seed=51)
+    mc = MCMCConfig(epochs=4, burn_in=1, feature_blocks=slot_blocks(ds))
+    r1 = train_mcmc(cfg, mc, ds, eval_ds=ds, key=jax.random.PRNGKey(51))
+    mesh = M.make_mesh(8, 1)
+    r2 = train_mcmc_sharded(cfg, mc, ds, mesh, eval_ds=ds,
+                            key=jax.random.PRNGKey(51))
+    np.testing.assert_allclose(np.asarray(r1.params.v),
+                               np.asarray(r2.params.v),
+                               rtol=2e-4, atol=2e-5)
+    a1 = [h["eval_rmse_avg"] for h in r1.history if "eval_rmse_avg" in h]
+    a2 = [h["eval_rmse_avg"] for h in r2.history if "eval_rmse_avg" in h]
+    np.testing.assert_allclose(a1, a2, rtol=1e-3)
+
+
+def test_facade_als_and_mcmc_on_mesh():
+    """FM(solver='als'|'mcmc', mesh=...) trains sharded end-to-end; an
+    exchange pin is rejected (meaningless for coordinate solvers)."""
+    import pytest
+
+    from sparkfm_tpu.api import FM
+    from sparkfm_tpu.config import MeshConfig
+
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=960, seed=52)
+    m = FM(num_factors=3, solver="als", max_iter=4, reg_v=0.5,
+           mesh=MeshConfig(data=8, model=1)).fit(ds, eval_ds=ds)
+    assert m.history[-1]["eval_rmse"] < 0.6
+    m2 = FM(num_factors=3, solver="mcmc", max_iter=4,
+            mesh=MeshConfig(data=8, model=1)).fit(ds, eval_ds=ds)
+    assert m2.history[-1]["eval_rmse_avg"] < 1.0
+    with pytest.raises(ValueError, match="exchange"):
+        FM(solver="als", mesh=MeshConfig(data=8, model=1,
+                                         exchange="unique")).fit(ds)
