@@ -159,12 +159,12 @@ def bench_ffm(hb):
     from sparkfm_tpu.solvers import sgd as sgd_solver
 
     fields = 22
-    # 2^20, not the full Avazu 2^22: the single-device SGDState holds
-    # three table-size buffers (v + adagrad slot + adam slot2), and
-    # 3 x (2^22 x 22 x 8) f32 = ~9 GB OOMs a 16 GB v5e — the 2^22 config
-    # is the SHARDED config by design (BASELINE "multi-host all-to-all").
-    # Per-example step cost is bucket-count independent (dedup touches
-    # U unique rows), so this characterizes the same step.
+    # Default 2^20; the FULL Avazu 2^22 also fits one chip since round 4
+    # (flat (F, nf*k) v layout kills the 16x tile-padding tax; lean
+    # non-adam states drop the dead adam slot2 buffer) — measured 90K
+    # ex/s at 2^22 vs 176K at 2^20 (bigger-table gather/scatter costs).
+    # Sharding over `model` remains the production layout for config 4
+    # (BASELINE "multi-host all-to-all").
     buckets = int(os.environ.get("BENCH_BUCKETS", 1 << 20))
     rank = 8
     batch = int(os.environ.get("BENCH_BATCH", 8192))
@@ -178,7 +178,7 @@ def bench_ffm(hb):
     hb(f"ffm: path={path}, staging")
     from sparkfm_tpu.models import fm as fm_model
     params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
-    state = sgd_solver.init_state(params)
+    state = sgd_solver.init_state(params, optimizer=sgd_cfg.optimizer)
     if path == "dedup":
         state = sgd_solver.pad_state_for_dedup(state)
     step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)

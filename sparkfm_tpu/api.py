@@ -308,6 +308,7 @@ class FM:
                  block_size: int = 4096,
                  eval_every: int = 1,
                  update_path: str = "auto",
+                 steps_per_dispatch: int = 1,
                  mesh=None,
                  exchange: str = "auto",
                  model: str = "fm",
@@ -334,6 +335,9 @@ class FM:
         # (config.SGDConfig.update_path; auto picks hybrid/fused/dedup/
         # direct by table size and model).
         self.update_path = update_path
+        # Hybrid path: scan this many staged batches per jitted dispatch
+        # (SGDConfig.steps_per_dispatch; amortizes the TPU launch floor).
+        self.steps_per_dispatch = steps_per_dispatch
         # Device-mesh training (solver="sgd" only): a jax.sharding.Mesh, a
         # config.MeshConfig, or a "DATAxMODEL" string like "4x2". None =
         # single device. `exchange` pins the sharded sparse exchange
@@ -472,7 +476,8 @@ class FM:
                                 optimizer=self.optimizer,
                                 batch_size=self.batch_size,
                                 epochs=self.max_iter,
-                                update_path=self.update_path)
+                                update_path=self.update_path,
+                                steps_per_dispatch=self.steps_per_dispatch)
             res = _trainer.train_sgd(cfg, sgd_cfg, train, eval_ds,
                                      self.eval_every, key,
                                      checkpoint_dir=checkpoint_dir,

@@ -138,6 +138,7 @@ def cmd_train(args) -> int:
             optimizer=args.optimizer, num_fields=args.fields,
             eval_every=args.eval_every,
             update_path=getattr(args, "update_path", "auto"),
+            steps_per_dispatch=getattr(args, "steps_per_dispatch", 1),
             mesh=getattr(args, "mesh", None),
             exchange=getattr(args, "exchange", "auto"),
             model=getattr(args, "model", "fm"),
@@ -348,6 +349,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--distributed", action="store_true",
                    help="call jax.distributed.initialize() first "
                         "(multi-host SPMD; every host runs this command)")
+    t.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="hybrid path: lax.scan this many staged batches "
+                        "per jitted dispatch (amortizes the TPU launch "
+                        "floor; update sequence unchanged)")
     t.add_argument("--update-path", default="auto",
                    choices=["auto", "direct", "dedup", "fused", "sorted",
                             "hybrid"],

@@ -28,8 +28,14 @@ from sparkfm_tpu.ops import losses as L
 class FMParams:
     """w0: () scalar bias; w: (F,) linear weights; v: (F, K) factors.
 
-    For FFM (num_fields > 0), v has shape (F, num_fields, K): one latent
-    vector per (feature, target-field) pair.
+    For FFM (num_fields > 0), v is stored FLAT as (F, num_fields * K) —
+    one latent vector per (feature, target-field) pair, concatenated per
+    row. Flat storage is load-bearing on TPU: XLA tiles a table's
+    minor-most two dims to (8, 128), so a (F, 22, 8) layout pads 16x in
+    HBM (a 2^22-bucket Avazu table would need ~47 GB/buffer and OOM one
+    chip) while (F, 176) pads only to 256 lanes. The interaction ops
+    accept flat rows and reshape internally (fusion keeps the 4-D view
+    out of HBM).
     """
 
     w0: jnp.ndarray
@@ -47,7 +53,8 @@ def init_params(cfg: FMConfig, key: jax.Array | None = None) -> FMParams:
         key = jax.random.PRNGKey(cfg.seed)
     dtype = jnp.dtype(cfg.dtype)
     if cfg.num_fields > 0:
-        vshape = (cfg.num_features, cfg.num_fields, cfg.num_factors)
+        # FLAT per-row layout (see FMParams doc: 16x HBM tax otherwise)
+        vshape = (cfg.num_features, cfg.num_fields * cfg.num_factors)
     else:
         vshape = (cfg.num_features, cfg.num_factors)
     v = cfg.init_mean + cfg.init_stdev * jax.random.normal(
@@ -84,7 +91,7 @@ def scores(params: FMParams, cfg: FMConfig,
         if field_ids is None:
             raise ValueError("FFM model requires field_ids")
         w_rows = params.w[ids]
-        v_rows = params.v[ids]      # (B, L, num_fields, K)
+        v_rows = params.v[ids]      # (B, L, num_fields*K) flat
         return I.ffm_scores_from_gathered(
             params.w0, w_rows, v_rows, vals, field_ids, cfg.num_fields,
             use_bias=cfg.use_bias, use_linear=cfg.use_linear,

@@ -107,10 +107,15 @@ def ffm_interaction_from_rows(vr, vals_c, field_ids, num_fields: int):
 
     Args:
       vr: (B, L, F, K) gathered per-slot per-target-field factors
-          (compute dtype).
+          (compute dtype), or flat (B, L, F*K) — the STORAGE layout is
+          flat (round 4: a (F_rows, nf, k) table tiles its minor-most
+          two dims to (8, 128), a 16x memory/traffic tax at k=8; flat
+          (F_rows, nf*k) pads 176 -> 256 lanes, 1.45x).
       vals_c: (B, L) values (padding exactly 0).
       field_ids: (B, L) int32 field of each slot.
     """
+    if vr.ndim == 3:
+        vr = vr.reshape(vr.shape[0], vr.shape[1], num_fields, -1)
     f_oh = jax.nn.one_hot(field_ids, num_fields, dtype=vr.dtype)  # (B,L,F)
     xv = vr * vals_c[..., None, None]                       # (B, L, F, K)
     # S[b,u,t,k] = sum_a f_oh[b,a,u] * xv[b,a,t,k]
@@ -133,7 +138,8 @@ def ffm_scores_from_gathered(w0, w_rows, v_rows, vals, field_ids,
     kept as :func:`ffm_scores_pairwise` for parity tests.
 
     Args:
-      v_rows: (B, L, num_fields, K) — per-slot, per-target-field factors.
+      v_rows: (B, L, num_fields, K) — or flat (B, L, num_fields*K), the
+          storage layout — per-slot, per-target-field factors.
       field_ids: (B, L) int32 field of each active feature.
     """
     vals_c = vals.astype(compute_dtype)
@@ -156,6 +162,8 @@ def ffm_scores_pairwise(w0, w_rows, v_rows, vals, field_ids,
     B, L = vals.shape
     vals_c = vals.astype(compute_dtype)
     vr = v_rows.astype(compute_dtype)
+    if vr.ndim == 3:
+        vr = vr.reshape(B, L, num_fields, -1)
     f_oh = jax.nn.one_hot(field_ids, num_fields, dtype=compute_dtype)
     # v_toward[b, a, c, :] = vr[b, a, field(c)]
     v_toward = jnp.einsum("batk,bct->back", vr, f_oh)        # (B, L, L, K)

@@ -74,7 +74,8 @@ def param_pspecs(ffm: bool = False):
     return FMParams(
         w0=P(),
         w=P(MODEL_AXIS),
-        v=P(MODEL_AXIS, None, None) if ffm else P(MODEL_AXIS, None),
+        # FFM v is stored flat (F, nf*K) — same 2-D spec as plain FM
+        v=P(MODEL_AXIS, None),
     )
 
 

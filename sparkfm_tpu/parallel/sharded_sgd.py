@@ -177,12 +177,9 @@ def _loss_sums_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
         rw, rv = cfg.reg_w, cfg.reg_v
     reg_sum = (cfg.reg0 * jnp.square(w0) * count
                + jnp.sum(rw * jnp.square(w_rows) * active))
-    if cfg.num_fields > 0:
-        reg_sum = reg_sum + jnp.sum(
-            (rv * active)[..., None, None] * jnp.square(v_rows))
-    else:
-        reg_sum = reg_sum + jnp.sum(
-            (rv * active)[..., None] * jnp.square(v_rows))
+    # v_rows are (B, L, K) plain / (B, L, nf*K) flat FFM — same rank
+    reg_sum = reg_sum + jnp.sum(
+        (rv * active)[..., None] * jnp.square(v_rows))
     return data_sum, reg_sum, count, s
 
 
@@ -319,9 +316,6 @@ def _make_unique_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         g_w_u = acc_all[:, kf]
         sq_v_u = acc_all[:, kf + 1:2 * kf + 1]
         sq_w_u = acc_all[:, 2 * kf + 1]
-        if ffm:
-            g_v_u = g_v_u.reshape(-1, cfg.num_fields, k)
-            sq_v_u = sq_v_u.reshape(-1, cfg.num_fields, k)
 
         lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
         w, sw = _unique_row_update(opt, lr, sgd_cfg, p.w, state.slot_w,
@@ -401,9 +395,6 @@ def _apply_unique_acc(cfg: FMConfig, sgd_cfg: SGDConfig, state: SGDState,
     g_w_u = acc[:, kf]
     sq_v_u = acc[:, kf + 1:2 * kf + 1]
     sq_w_u = acc[:, 2 * kf + 1]
-    if ffm:
-        g_v_u = g_v_u.reshape(-1, cfg.num_fields, k)
-        sq_v_u = sq_v_u.reshape(-1, cfg.num_fields, k)
     if not cfg.use_linear:
         g_w_u = jnp.zeros_like(g_w_u)
         sq_w_u = jnp.zeros_like(sq_w_u)
@@ -663,12 +654,8 @@ def _make_dense_sharded_step(cfg: FMConfig, sgd_cfg: SGDConfig, mesh: Mesh):
         mine, lid = _own_mask_and_lid(ids_all, rows_per_shard, M.MODEL_AXIS)
         lid_flat = lid.reshape(-1)
         gw_flat = jnp.where(mine, g_wrows_all, 0).reshape(-1)
-        if ffm:
-            gv_flat = jnp.where(mine[..., None, None], g_vrows_all, 0
-                                ).reshape(-1, cfg.num_fields, cfg.num_factors)
-        else:
-            gv_flat = jnp.where(mine[..., None], g_vrows_all, 0
-                                ).reshape(-1, cfg.num_factors)
+        gv_flat = jnp.where(mine[..., None], g_vrows_all, 0
+                            ).reshape(-1, g_vrows_all.shape[-1])
 
         lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
         w, sw, s2w = sgd_solver._row_update(

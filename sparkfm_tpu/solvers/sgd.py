@@ -52,11 +52,21 @@ class SGDState:
     step: jnp.ndarray
 
 
-def init_state(params: FMParams) -> SGDState:
+def init_state(params: FMParams, optimizer: str = None) -> SGDState:
+    """Fresh optimizer state. With ``optimizer`` given and != "adam",
+    the second-moment slots are SCALAR placeholders instead of full
+    table-sized buffers — adam is the only consumer, and a dead slot2_v
+    costs a whole table of HBM (a (2^22, 176) flat FFM table is ~4.3 GB;
+    the dead buffer was the difference between config 4 fitting one chip
+    or not). None (the default) keeps full slots for backward
+    compatibility with callers that restore arbitrary checkpoints."""
     z = lambda x: jnp.zeros_like(x)
+    lean = optimizer is not None and optimizer != "adam"
+    s2 = (lambda x: jnp.zeros((), x.dtype)) if lean else z
     return SGDState(params=params,
                     slot_w0=z(params.w0), slot_w=z(params.w), slot_v=z(params.v),
-                    slot2_w0=z(params.w0), slot2_w=z(params.w), slot2_v=z(params.v),
+                    slot2_w0=z(params.w0), slot2_w=s2(params.w),
+                    slot2_v=s2(params.v),
                     step=jnp.zeros((), jnp.int32))
 
 
@@ -98,7 +108,7 @@ def _batch_loss_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
            + jnp.sum(rw * jnp.square(w_rows) * active) / denom)
     if cfg.num_fields > 0:
         reg = reg + jnp.sum(
-            (rv * active)[..., None, None] * jnp.square(v_rows)) / denom
+            (rv * active)[..., None] * jnp.square(v_rows)) / denom
     else:
         reg = reg + jnp.sum(
             (rv * active)[..., None] * jnp.square(v_rows)) / denom
@@ -220,9 +230,11 @@ def resolve_update_path(cfg: FMConfig, sgd_cfg: SGDConfig) -> str:
 
 def pad_state_for_dedup(state: SGDState) -> SGDState:
     """Append one dummy row to every table (the dedup fill row; its contents
-    are garbage by design — overflow/unused-budget traffic lands there)."""
-    pad = lambda x: jnp.concatenate(
+    are garbage by design — overflow/unused-budget traffic lands there).
+    Scalar slot2 placeholders (lean non-adam states) pass through."""
+    pad = lambda x: (jnp.concatenate(
         [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+        if x.ndim else x)
     return SGDState(
         params=FMParams(w0=state.params.w0, w=pad(state.params.w),
                         v=pad(state.params.v)),
@@ -280,10 +292,8 @@ def make_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
         w, sw, s2w = _row_update(
             opt, lr, sgd_cfg, p.w, state.slot_w, state.slot2_w,
             ids_flat, g_wrows.reshape(-1), state.step)
-        if cfg.num_fields > 0:
-            gv = g_vrows.reshape(B * Lq, cfg.num_fields, cfg.num_factors)
-        else:
-            gv = g_vrows.reshape(B * Lq, cfg.num_factors)
+        # v rows are (K,) plain / (num_fields*K,) flat FFM — same rank
+        gv = g_vrows.reshape(B * Lq, -1)
         v, sv, s2v = _row_update(
             opt, lr, sgd_cfg, p.v, state.slot_v, state.slot2_v,
             ids_flat, gv, state.step)
@@ -365,7 +375,8 @@ def _make_dedup_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
             _check_row_optimizer(opt)
             t_u = table[plan.uids]
             s_u = slot[plan.uids]
-            s2_u = slot2[plan.uids]
+            # slot2 may be a scalar placeholder (lean non-adam state)
+            s2_u = slot2[plan.uids] if opt == "adam" else None
             if opt == "adagrad":
                 s_u = s_u + sq_u
                 t_u = t_u - lr * g_u * jax.lax.rsqrt(

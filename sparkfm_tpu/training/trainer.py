@@ -138,7 +138,7 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         get_params = lambda s: sgd_fused.params_from_fused(s, cfg)
     else:
         params = fm_model.init_params(cfg, key)
-        state = sgd_solver.init_state(params)
+        state = sgd_solver.init_state(params, optimizer=sgd_cfg.optimizer)
         if path == "dedup":
             state = sgd_solver.pad_state_for_dedup(state)
         step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)

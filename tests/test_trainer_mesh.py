@@ -67,9 +67,11 @@ def test_fm_facade_mesh_string():
     assert p.shape == (8,)
 
 
-def test_fm_facade_mesh_rejects_non_sgd():
+def test_fm_facade_mesh_rejects_unsupported_solver():
+    # sgd/als/mcmc all reach the mesh now (round 4); a CALLABLE solver
+    # has no sharded form — still rejected loudly.
     with pytest.raises(ValueError):
-        FM(solver="als", mesh="4x2").fit(
+        FM(solver=lambda *a: None, mesh="4x2").fit(
             synth.synth_movielens(num_examples=100, seed=1))
 
 
