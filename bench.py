@@ -38,7 +38,9 @@ Env knobs (all optional):
   BENCH_BATCH     batch size      (default 16384)
   BENCH_NNZ       actives/example (default 39, the Criteo field count)
   BENCH_RANK      factors         (default 32)
-  BENCH_STEPS     timed steps     (default 30)
+  BENCH_STEPS     timed steps (default 60: the first dispatches after
+                  warmup still run below steady state — 30 steps
+                  under-measures by ~6%; 60 adds <0.5 s wall)
   BENCH_OPT       optimizer: adagrad (default) | adagrad_row | sgd
   BENCH_DIST      id distribution: zipf (default; Criteo-like) | uniform
   BENCH_PATH      update path: auto (default) | direct | dedup | fused
@@ -110,7 +112,7 @@ def child_main():
     batch = int(os.environ.get("BENCH_BATCH", 16384))
     nnz = int(os.environ.get("BENCH_NNZ", 39))
     rank = int(os.environ.get("BENCH_RANK", 32))
-    steps = int(os.environ.get("BENCH_STEPS", 30))
+    steps = int(os.environ.get("BENCH_STEPS", 60))
     dist = os.environ.get("BENCH_DIST", "zipf")
     path = os.environ.get("BENCH_PATH", "auto")
     budget_env = os.environ.get("BENCH_BUDGET", "ladder")
