@@ -58,7 +58,7 @@ Env knobs (all optional):
   BENCH_GROUP     hybrid steps per dispatch (default 2; lax.scan over
                   stacked staged batches — SGDConfig.steps_per_dispatch,
                   amortizes the ~1.6 ms launch floor; 1 = single-step)
-  BENCH_TIMEOUT   parent per-attempt deadline seconds (default 150)
+  BENCH_TIMEOUT   parent per-attempt deadline seconds (default 240)
   BENCH_NO_FORK   1 = run the measurement in-process (no supervisor);
                   what the child itself runs.
 """
@@ -169,12 +169,21 @@ def child_main():
         _ = float(out[0])
         metric = "criteo_logistic_fm_rank32_score_throughput_1chip"
 
+        import dataclasses as _dc
+
         def run(n):
+            # Chain a vanishing perturbation of w0 through acc: every
+            # iteration is a DISTINCT computation (staged batches repeat
+            # after 8, and a tunneled backend may memoize identical
+            # (params, batch) calls — observed 2.6x inflation), at the
+            # cost of serializing the chain (a lower bound: real serving
+            # pipelines independent requests).
             acc = jnp.float32(0)
             t0 = time.perf_counter()
             for i in range(n):
                 ids_i, plan_i = staged[i % 8]
-                acc = acc + score_fn(params, ids_i, vals, plan_i)[0]
+                p_i = _dc.replace(params, w0=params.w0 + acc * 1e-30)
+                acc = acc + score_fn(p_i, ids_i, vals, plan_i)[0]
             _ = float(acc)
             return n * batch / (time.perf_counter() - t0 - rpc)
 
@@ -354,7 +363,9 @@ def supervise() -> int:
     import subprocess
     import threading
 
-    deadline = float(os.environ.get("BENCH_TIMEOUT", 150))
+    # Cold/recovering tunnels measured up to ~150 s of pure backend init
+    # this round; 150 s would kill a healthy child mid-init.
+    deadline = float(os.environ.get("BENCH_TIMEOUT", 240))
     last_json: list = []
 
     for attempt in (1, 2):
