@@ -89,7 +89,8 @@ def config3(scale):
     cfg = sfm.FMConfig(num_features=buckets, num_factors=32,
                        task=sfm.Task.CLASSIFICATION, reg_v=1e-6, seed=0)
     res = trainer.train_sgd(
-        cfg, sfm.SGDConfig(batch_size=16384, epochs=2, learning_rate=0.05),
+        cfg, sfm.SGDConfig(batch_size=16384, epochs=2, learning_rate=0.05,
+                           steps_per_dispatch=2),
         coll.training, eval_ds=coll.test, eval_every=1)
     return {"config": 3, "model": "criteo_fm32_logistic",
             "test_auc": res.history[-1]["eval_auc"],
