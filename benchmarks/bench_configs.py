@@ -98,8 +98,11 @@ def bench_als(hb):
         cfg.reg_w, cfg.reg_v)
 
     n_ranks = int(ws.present.shape[0])
+    cpure = A.blocks_are_column_pure(ds, np.asarray(ws.block_of_feat))
+    hb(f"als: column_pure={cpure}")
     sweep = jax.jit(lambda p, w: A.als_sweep_compact(
-        p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv))
+        p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv,
+        column_pure=cpure))
     rpc = _rpc_latency(hb)
     hb("als: compiling sweep")
     params = sweep(params, ws)

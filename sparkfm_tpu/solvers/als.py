@@ -282,10 +282,28 @@ def _sweep_impl(params: FMParams, ws: ALSWorkspace, num_blocks: int,
     return FMParams(w0=w0_new, w=w_new, v=v_new)
 
 
+def blocks_are_column_pure(ds: SparseDataset, block_of_feat) -> bool:
+    """True iff block b's features appear EXACTLY in CSR column b for
+    every example (the slot_blocks layout without multi-hot drift): then
+    an e/q patch for block b reads ONE CSR column instead of all L."""
+    import numpy as _np
+    bof = _np.asarray(block_of_feat)
+    ids = _np.asarray(ds.ids)
+    vals = _np.asarray(ds.vals)
+    L = ids.shape[1]
+    if int(bof.max()) + 1 != L:
+        return False
+    for l in range(L):
+        feats = ids[:, l][vals[:, l] != 0]
+        if feats.size and not _np.all(bof[feats] == l):
+            return False
+    return True
+
+
 def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                    num_ranks: int, reg0: float, reg_w, reg_v,
-                   use_bias: bool = True, use_linear: bool = True
-                   ) -> FMParams:
+                   use_bias: bool = True, use_linear: bool = True,
+                   column_pure: bool = False) -> FMParams:
     """Round-4 factored compact sweep — same math as _sweep_impl, ~5x
     faster on TPU. Three structural changes:
 
@@ -353,12 +371,24 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
         w0_new = params.w0
 
     # ---- linear weights, blocked
+    def _patch(arr_c, b):
+        """Per-example sum of a compact (Fp,)-indexed quantity over
+        block b's slots. column_pure: block b IS CSR column b -> one
+        (N,) gather; else the generic (N, L) gather + row sum."""
+        if column_pure:
+            rb = jax.lax.dynamic_index_in_dim(rank_csr, b, axis=1,
+                                              keepdims=False)
+            vb = jax.lax.dynamic_index_in_dim(vals_csr, b, axis=1,
+                                              keepdims=False)
+            return arr_c[rb] * vb, vb
+        return jnp.sum(arr_c[rank_csr] * vals_csr, axis=1), None
+
     def w_block(b, carry):
         w_c, e = carry
         num = SS.segment_colsums([e[col_row] * x], col_rank, Fp)[:, 0]
         theta = _guarded_theta(w_c, num, den_w_c, rw_c)
         delta = jnp.where(block_c == b, theta - w_c, 0.0)
-        de = jnp.sum(delta[rank_csr] * vals_csr, axis=1)
+        de, _ = _patch(delta, b)
         return (w_c + delta, e + de)
 
     if use_linear:
@@ -391,11 +421,23 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
             vf_new = vf + delta
             dsq = jnp.where(in_b, jnp.square(vf_new) - jnp.square(vf),
                             0.0)
-            # ONE paired gather for both patch streams
-            dd = jnp.stack([delta, dsq], axis=1)[rank_csr]  # (N, L, 2)
-            dq = jnp.sum(dd[..., 0] * vals_csr, axis=1)
+            # ONE paired gather for both patch streams; column-pure
+            # blocks read a single CSR column (exact: block b's features
+            # live only in column b)
+            pair = jnp.stack([delta, dsq], axis=1)          # (Fp, 2)
+            if column_pure:
+                rb = jax.lax.dynamic_index_in_dim(rank_csr, b, axis=1,
+                                                  keepdims=False)
+                vb = jax.lax.dynamic_index_in_dim(vals_csr, b, axis=1,
+                                                  keepdims=False)
+                dd = pair[rb]                               # (N, 2)
+                dq = dd[:, 0] * vb
+                de_sq = dd[:, 1] * jnp.square(vb)
+            else:
+                dd = pair[rank_csr]                         # (N, L, 2)
+                dq = jnp.sum(dd[..., 0] * vals_csr, axis=1)
+                de_sq = jnp.sum(dd[..., 1] * jnp.square(vals_csr), axis=1)
             q_new = q + dq
-            de_sq = jnp.sum(dd[..., 1] * jnp.square(vals_csr), axis=1)
             e_new = (e + 0.5 * (jnp.square(q_new) - jnp.square(q))
                      - 0.5 * de_sq)
             return (vf_new, q_new, e_new)
@@ -414,16 +456,19 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
                                    "num_ranks", "reg0", "use_bias",
-                                   "use_linear"))
+                                   "use_linear", "column_pure"))
 def als_sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                       num_features: int, num_ranks: int, reg0: float,
                       reg_w, reg_v, use_bias: bool = True,
-                      use_linear: bool = True) -> FMParams:
+                      use_linear: bool = True,
+                      column_pure: bool = False) -> FMParams:
     """Jitted compact sweep (see _sweep_compact). Requires a workspace
-    from :func:`build_workspace` (col_rank/present/CSR rank views)."""
+    from :func:`build_workspace` (col_rank/present/CSR rank views).
+    column_pure: host-verified via :func:`blocks_are_column_pure`."""
     del num_features
     return _sweep_compact(params, ws, num_blocks, num_ranks, reg0,
-                          reg_w, reg_v, use_bias, use_linear)
+                          reg_w, reg_v, use_bias, use_linear,
+                          column_pure=column_pure)
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
@@ -536,12 +581,14 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
     n_examples = 0
     t0 = time.perf_counter()
     n_ranks = int(ws.present.shape[0]) if ws.present is not None else 0
+    cpure = bool(n_ranks) and blocks_are_column_pure(
+        train, np.asarray(ws.block_of_feat))
     for epoch in range(als_cfg.epochs):
         if n_ranks:
             params = als_sweep_compact(
                 params, ws, num_blocks, cfg.num_features, n_ranks,
                 cfg.reg0, reg_w_vec, reg_v_vec, cfg.use_bias,
-                cfg.use_linear)
+                cfg.use_linear, column_pure=cpure)
         else:
             params = als_sweep(params, ws, num_blocks, cfg.num_features,
                                cfg.reg0, reg_w_vec, reg_v_vec,

@@ -211,3 +211,37 @@ def test_compact_sweep_leaves_absent_features_untouched():
     assert absent.size > 0
     np.testing.assert_array_equal(np.asarray(p.v)[absent],
                                   np.asarray(params0.v)[absent])
+
+
+def test_column_pure_patches_match_generic():
+    """The column-pure patch fast path (slot-aligned blocks: block b is
+    CSR column b) computes the identical sweep."""
+    from sparkfm_tpu.solvers.als import (ALSConfig, als_sweep_compact,
+                                         blocks_are_column_pure,
+                                         build_workspace, slot_blocks)
+
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=1000, seed=61)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=3,
+                   reg_w=0.1, reg_v=0.5, seed=61)
+    blocks = slot_blocks(ds)
+    assert blocks_are_column_pure(ds, np.asarray(blocks))
+    ws, nb = build_workspace(ds, cfg, ALSConfig(feature_blocks=blocks))
+    params0 = fm_model.init_params(cfg, jax.random.PRNGKey(61))
+    rw, rv = (jnp.asarray(x) for x in cfg.reg_vectors())
+    nr = int(ws.present.shape[0])
+    pa = als_sweep_compact(params0, ws, nb, cfg.num_features, nr,
+                           cfg.reg0, rw, rv, column_pure=False)
+    pb = als_sweep_compact(params0, ws, nb, cfg.num_features, nr,
+                           cfg.reg0, rw, rv, column_pure=True)
+    np.testing.assert_allclose(np.asarray(pa.v), np.asarray(pb.v),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(pa.w), np.asarray(pb.w),
+                               rtol=1e-6, atol=1e-7)
+
+    # a layout that is NOT column-pure must be detected
+    ids2 = ds.ids.copy()
+    ids2[0, 0], ids2[0, 1] = ids2[0, 1], ids2[0, 0]   # swap one row's slots
+    import dataclasses as _dc
+    ds2 = _dc.replace(ds, ids=ids2)
+    assert not blocks_are_column_pure(ds2, np.asarray(blocks))
