@@ -667,6 +667,13 @@ def fm_grad_segsum_factored(vw_u: jnp.ndarray, ex_srt: jnp.ndarray,
     (and non-TPU auto) evaluates the direct unfactored formula — exact
     f32, bit-identical to fm_grad_segsum's fallback, so CPU parity tests
     are unchanged.
+
+    Precision note (hardware, bf16x2=True): the squared-sum combine
+    (Σt1² − 2V·Σt1t2 + V²·Σt2²) can amplify the ~2e-4 per-sum bf16x2
+    error to ~1e-3 worst-case under cancellation; those sums feed the
+    adagrad accumulator (rsqrt), where 0.1% is immaterial. bf16x2=False
+    keeps everything ≤1e-4 at ~3x the MXU passes
+    (tests/test_tpu_parity.py).
     """
     k = vw_u.shape[1] - 1
     from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
