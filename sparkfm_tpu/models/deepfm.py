@@ -553,6 +553,14 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
         (sgd_cfg.batch_size // d_shards) * train.max_nnz)
 
     def lift(batch, with_plan=True):
+        # Same multi-process discipline as trainer._train_sgd_sharded's
+        # lift: plans derive from the FULL global batch (identical on
+        # every process by the same-seed iterator), then each process
+        # keeps only its contiguous slice of the per-row arrays before
+        # make_array_from_process_local_data assembles the global batch.
+        import dataclasses as _dc
+
+        import jax as _jax
         plan = None
         plan_mode = "global"
         if with_plan and use_plan and mode == "global":
@@ -561,8 +569,21 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                 int(hp.count), cap=plan_cap))
             plan = hp._replace(uids=hp.uids[:plan_rung[0]], order=None,
                                seg=None, svals=None, sex=None)
-        elif with_plan and use_plan and mode == "unique":
-            plan = _E.stack_plans(np.asarray(batch.ids), d_shards,
+        if _jax.process_count() > 1:
+            sl = MH.process_batch_slice(batch.batch_size)
+            batch = _dc.replace(
+                batch, ids=batch.ids[sl], vals=batch.vals[sl],
+                y=batch.y[sl],
+                mask=None if batch.mask is None else batch.mask[sl],
+                field_ids=(None if batch.field_ids is None
+                           else batch.field_ids[sl]))
+            if plan is not None:
+                plan = plan._replace(ranks=plan.ranks[sl])
+        if with_plan and use_plan and mode == "unique":
+            # stacked per-shard plans build from this process's LOCAL
+            # shard rows (each shard's plan is self-contained)
+            local_shards = d_shards // _jax.process_count()
+            plan = _E.stack_plans(np.asarray(batch.ids), local_shards,
                                   budget=stacked_budget, fill=plan_fill)
             plan_mode = "stacked"
         return MH.global_batch(mesh, batch, has_fields=False, plan=plan,
