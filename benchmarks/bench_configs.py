@@ -172,25 +172,35 @@ def bench_ffm(hb):
     rank = 8
     batch = int(os.environ.get("BENCH_BATCH", 8192))
     steps = int(os.environ.get("BENCH_STEPS", 20))
+    # slot_major_fields: the Avazu layout is one feature per field per
+    # example (field_ids == arange), so the interaction takes the static
+    # transpose form (ops/interaction.py::ffm_interaction_slot_major).
     cfg = FMConfig(num_features=buckets, num_factors=rank,
                    num_fields=fields, task=Task.CLASSIFICATION,
-                   reg_v=1e-6, seed=0)
+                   reg_v=1e-6, seed=0, slot_major_fields=True)
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
                         optimizer="adagrad")
     path = sgd_solver.resolve_update_path(cfg, sgd_cfg)
     hb(f"ffm: path={path}, staging")
     from sparkfm_tpu.models import fm as fm_model
-    params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
-    state = sgd_solver.init_state(params, optimizer=sgd_cfg.optimizer)
-    if path == "dedup":
-        state = sgd_solver.pad_state_for_dedup(state)
-    step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
+    if path == "fused":
+        from sparkfm_tpu.solvers import sgd_fused
+        state = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+        step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        w0_of = lambda st: st.w0
+    else:
+        params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+        state = sgd_solver.init_state(params, optimizer=sgd_cfg.optimizer)
+        if path == "dedup":
+            state = sgd_solver.pad_state_for_dedup(state)
+        step_fn = sgd_solver.make_train_step(cfg, sgd_cfg)
+        w0_of = lambda st: st.params.w0
 
     rng = np.random.default_rng(0)
     hbs, rung = _ctr_batches(rng, 6, batch, fields, buckets,
                              field_major=True,
                              host_plan_fill=buckets
-                             if path == "dedup" else None)
+                             if path in ("dedup", "fused") else None)
     from sparkfm_tpu.ops import embedding as E
     batches = []
     fid = np.broadcast_to(np.arange(fields, dtype=np.int32),
@@ -213,7 +223,7 @@ def bench_ffm(hb):
     rpc = _rpc_latency(hb)
     hb("ffm: compiling step")
     state, aux = step_fn(state, batches[0])
-    _ = float(aux["loss"]) + float(state.params.w0)
+    _ = float(aux["loss"]) + float(w0_of(state))
     metric = "avazu_shape_ffm_rank8_train_throughput_1chip"
 
     def run(k, s0):
@@ -221,7 +231,7 @@ def bench_ffm(hb):
         t0 = time.perf_counter()
         for i in range(k):
             state, aux = step_fn(state, batches[(s0 + i) % len(batches)])
-        _ = float(aux["loss"]) + float(state.params.w0)
+        _ = float(aux["loss"]) + float(w0_of(state))
         return k * batch / (time.perf_counter() - t0 - rpc)
 
     hb("ffm: provisional (4 steps)")

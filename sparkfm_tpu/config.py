@@ -61,6 +61,14 @@ class FMConfig:
     compute_dtype: str = "float32"  # dtype used inside the interaction kernel
     # Field-aware extension (FFM): number of fields. 0 = plain FM.
     num_fields: int = 0
+    # FFM only: promise that slot l of EVERY example holds a feature of
+    # field l (so L == num_fields and field_ids == arange — the fixed-
+    # column hashed-CTR layout Avazu/Criteo loaders emit). A STATIC bit:
+    # the interaction drops its one-hot field-aggregation matmuls for a
+    # transpose multiply (ops/interaction.py::ffm_interaction_slot_major,
+    # measured ~1.3 ms/step at the config-4 shape) and batches may omit
+    # field_ids entirely. Leave False for ragged/multi-hot field layouts.
+    slot_major_fields: bool = False
     # Attribute groups (the reference's Metadata capability,
     # fm/bs/Metadata.scala:8-29; libFM's per-group lambdas): a per-feature
     # group id tuple of length num_features. With groups set:
@@ -131,9 +139,13 @@ class SGDConfig:
     #              ~200ns/row; small-table ops are ~10-20x cheaper). The
     #              only path offering adam/momentum.
     #   "fused"  — dedup plus the fused record layout [v|slot_v|w|slot_w]
-    #              in one 128-lane row (solvers/sgd_fused.py): ONE sorted-
-    #              hint unique-row gather + ONE write-back per step.
-    #              adagrad / adagrad_row / plain sgd, FM only.
+    #              in one lane-tiled row (solvers/sgd_fused.py): ONE
+    #              sorted-hint unique-row gather + ONE write-back per
+    #              step. adagrad / adagrad_row / plain sgd. Covers FFM
+    #              too (v block widens to num_fields*K; the write fusion
+    #              is worth ~21 ms/step at the config-4 shape, where the
+    #              4-scatter dedup write-back dominated the step —
+    #              benchmarks/ablate_ffm.py).
     #   "sorted" — slots re-sorted by feature id once per batch; per-unique
     #              reductions become streaming Pallas segment sums
     #              (solvers/sgd_sorted.py). Kept as an alternative: in-step

@@ -127,15 +127,54 @@ def ffm_interaction_from_rows(vr, vals_c, field_ids, num_fields: int):
     return 0.5 * (total - diag)
 
 
+def ffm_interaction_slot_major(vr, vals_c):
+    """FFM interaction when slot a IS field a (the fixed-column CTR
+    layout: L == num_fields and every example's slot l holds its field-l
+    feature — Avazu/Criteo hashed datasets are exactly this shape).
+
+    With field(a) == a, the field aggregation S[b,u,t,:] =
+    sum_{a: field(a)=u} x_a v_a[t,:] collapses to the identity:
+    S == xv. The one-hot einsums of :func:`ffm_interaction_from_rows`
+    (B batched (L,F)@(L,F*K) matmuls — M=K=22-sized operands that pad
+    ~6x each way on the 128x128 MXU) disappear entirely; the ordered-
+    pair total is a transpose multiply on the VPU:
+
+        T = sum_{t,u} <xv[u,t], xv[t,u]>,   diag_a = |xv[a,a]|^2
+
+    Measured (benchmarks/ablate_ffm.py, v5e, config-4 shape): ~1.3 ms/step
+    cheaper than the aggregated form in f32, ~2 ms in bf16. Parity vs the
+    aggregated and pairwise forms is pinned in tests/test_fm_math.py.
+
+    Args:
+      vr: (B, L, F, K) gathered factors with L == F.
+      vals_c: (B, L) values (padding exactly 0).
+    """
+    B, L, Fq, K = vr.shape
+    if L != Fq:
+        raise ValueError(
+            f"slot-major FFM requires one slot per field (L == num_fields),"
+            f" got L={L}, num_fields={Fq}")
+    xv = vr * vals_c[..., None, None]                       # (B, L, F, K)
+    xvt = jnp.swapaxes(xv, 1, 2)
+    total = jnp.sum(xv * xvt, axis=(1, 2, 3))
+    ar = jnp.arange(L)
+    diag = jnp.sum(jnp.square(xv[:, ar, ar, :]), axis=(1, 2))
+    return 0.5 * (total - diag)
+
+
 def ffm_scores_from_gathered(w0, w_rows, v_rows, vals, field_ids,
                              num_fields: int,
                              use_bias: bool = True, use_linear: bool = True,
-                             compute_dtype=jnp.float32) -> jnp.ndarray:
+                             compute_dtype=jnp.float32,
+                             slot_major: bool = False) -> jnp.ndarray:
     """Field-aware FM (FFM) scores from gathered per-field factor rows.
 
     Uses the field-aggregated O(B·F²·K) interaction
     (:func:`ffm_interaction_from_rows`); the O(B·L²·K) pairwise form is
-    kept as :func:`ffm_scores_pairwise` for parity tests.
+    kept as :func:`ffm_scores_pairwise` for parity tests. With
+    ``slot_major`` (a STATIC config bit: FMConfig.slot_major_fields),
+    field_ids are ignored (may be None) and the cheaper transpose-form
+    interaction runs instead (:func:`ffm_interaction_slot_major`).
 
     Args:
       v_rows: (B, L, num_fields, K) — or flat (B, L, num_fields*K), the
@@ -144,7 +183,12 @@ def ffm_scores_from_gathered(w0, w_rows, v_rows, vals, field_ids,
     """
     vals_c = vals.astype(compute_dtype)
     vr = v_rows.astype(compute_dtype)
-    out = ffm_interaction_from_rows(vr, vals_c, field_ids, num_fields)
+    if vr.ndim == 3:
+        vr = vr.reshape(vr.shape[0], vr.shape[1], num_fields, -1)
+    if slot_major:
+        out = ffm_interaction_slot_major(vr, vals_c)
+    else:
+        out = ffm_interaction_from_rows(vr, vals_c, field_ids, num_fields)
     if use_linear:
         out = out + jnp.sum(w_rows.astype(compute_dtype) * vals_c, axis=-1)
     if use_bias:

@@ -897,8 +897,22 @@ def segment_rowsum(g: jnp.ndarray, seg: jnp.ndarray, num_segments: int,
     if force == "xla" or (force == "auto" and not use_pallas_rowio()):
         return jax.ops.segment_sum(g, seg, num_segments=num_segments)
 
-    interpret = force == "interpret"
     n, w = g.shape
+    if w > 128 and force != "interpret":
+        # Multi-lane-tile rows: the kernel's per-run output windows start
+        # at arbitrary (unaligned) rank offsets, which Mosaic only
+        # supports for single-tile (<=128 lane) rows — with a (8,128)
+        # tiled [3,1] memref it fails "tile index in dimension 0 is
+        # divisible by the tiling (8)" (seen with the FFM 354-lane
+        # packed payload on v5e). Route wide payloads to XLA's exact
+        # segment_sum instead of crashing the compile.
+        if force == "pallas":
+            raise ValueError(
+                f"segment_rowsum Pallas path supports row width <= 128 "
+                f"lanes (got {w}); use force='xla' or let 'auto' route")
+        return jax.ops.segment_sum(g, seg, num_segments=num_segments)
+
+    interpret = force == "interpret"
     pad_w = (-w) % 128
     if pad_w:
         g = jnp.concatenate(

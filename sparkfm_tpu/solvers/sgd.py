@@ -77,7 +77,8 @@ def _batch_loss_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
         s = I.ffm_scores_from_gathered(
             w0, w_rows, v_rows, batch.vals, batch.field_ids, cfg.num_fields,
             use_bias=cfg.use_bias, use_linear=cfg.use_linear,
-            compute_dtype=jnp.dtype(cfg.compute_dtype))
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            slot_major=cfg.slot_major_fields)
     else:
         s = I.fm_scores_from_gathered(
             w0, w_rows, v_rows, batch.vals,
@@ -221,8 +222,10 @@ def resolve_update_path(cfg: FMConfig, sgd_cfg: SGDConfig) -> str:
         return "direct"
     if _hybrid_eligible(cfg, sgd_cfg):
         return "hybrid"
-    if (cfg.num_fields == 0
-            and sgd_cfg.optimizer in ("adagrad", "adagrad_row", "sgd")
+    # Fused covers FFM since round 5: the 4-scatter dedup write-back was
+    # the dominant FFM stage (26.7 of 47 ms/step at the config-4 shape,
+    # benchmarks/ablate_ffm.py); one fused-record write removes it.
+    if (sgd_cfg.optimizer in ("adagrad", "adagrad_row", "sgd")
             and sgd_cfg.momentum == 0):
         return "fused"
     return "dedup"

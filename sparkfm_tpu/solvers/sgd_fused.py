@@ -48,40 +48,68 @@ class FusedState:
     step: jnp.ndarray
 
 
-def record_width(num_factors: int) -> int:
-    need = 2 * num_factors + 2
+def v_lanes(cfg: FMConfig) -> int:
+    """Width of one row's factor block: K for plain FM, num_fields*K for
+    FFM (the flat per-row layout of models/fm.py::FMParams)."""
+    return cfg.num_factors * max(1, cfg.num_fields)
+
+
+def record_width(num_factors: int, num_fields: int = 0) -> int:
+    vk = num_factors * max(1, num_fields)
+    need = 2 * vk + 2
     return ((need + 127) // 128) * 128
 
 
 def init_fused_state(cfg: FMConfig,
                      key: Optional[jax.Array] = None) -> FusedState:
-    """Initialize from a fresh FMParams draw (same keyed init as the
-    separate-table path)."""
-    from sparkfm_tpu.models import fm as fm_model
-    if cfg.num_fields > 0:
-        raise ValueError("fused path supports plain FM (use dedup for FFM)")
-    params = fm_model.init_params(cfg, key)
-    return fused_from_params(params, cfg)
+    """Same keyed init as the separate-table path, drawn DIRECTLY into
+    the record table under one jit: materializing FMParams first costs a
+    whole extra padded (F, vk) buffer at peak — at the full Avazu shape
+    (2^22 x 176 -> 256 lanes, 4.3 GB, next to the 6.4 GB record table)
+    the eager `.at[].set` copies on top of that OOM'd one chip."""
+    if key is None:
+        key = jax.random.PRNGKey(cfg.seed)
+    vk = v_lanes(cfg)
+    f = cfg.num_features
+    w = record_width(cfg.num_factors, cfg.num_fields)
+
+    @jax.jit
+    def build(key):
+        table = jnp.zeros((f + 1, w), jnp.float32)
+        v = cfg.init_mean + cfg.init_stdev * jax.random.normal(
+            key, (f, vk), dtype=jnp.float32)
+        return table.at[:f, :vk].set(v)
+
+    return FusedState(table=build(key), w0=jnp.zeros((), jnp.float32),
+                      slot_w0=jnp.zeros((), jnp.float32),
+                      step=jnp.zeros((), jnp.int32))
 
 
 def fused_from_params(params: FMParams, cfg: FMConfig) -> FusedState:
-    k = cfg.num_factors
+    vk = v_lanes(cfg)
     f = cfg.num_features
-    w = record_width(k)
-    table = jnp.zeros((f + 1, w), jnp.float32)
-    table = table.at[:f, :k].set(params.v.astype(jnp.float32))
-    table = table.at[:f, 2 * k].set(params.w.astype(jnp.float32))
-    return FusedState(table=table, w0=jnp.asarray(params.w0, jnp.float32),
+    w = record_width(cfg.num_factors, cfg.num_fields)
+
+    # One jitted build: eager .at[].set copies the whole record table per
+    # call (two 6.4 GB copies at the full Avazu shape).
+    @jax.jit
+    def build(v, wvec):
+        table = jnp.zeros((f + 1, w), jnp.float32)
+        table = table.at[:f, :vk].set(v.astype(jnp.float32))
+        return table.at[:f, 2 * vk].set(wvec.astype(jnp.float32))
+
+    return FusedState(table=build(params.v, params.w),
+                      w0=jnp.asarray(params.w0, jnp.float32),
                       slot_w0=jnp.zeros((), jnp.float32),
                       step=jnp.zeros((), jnp.int32))
 
 
 def params_from_fused(state: FusedState, cfg: FMConfig) -> FMParams:
-    k = cfg.num_factors
+    vk = v_lanes(cfg)
     f = cfg.num_features
     return FMParams(w0=state.w0,
-                    w=state.table[:f, 2 * k],
-                    v=state.table[:f, :k])
+                    w=state.table[:f, 2 * vk],
+                    v=state.table[:f, :vk])
 
 
 def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
@@ -103,7 +131,12 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
         raise ValueError(
             f"unknown accumulate={sgd_cfg.accumulate!r}; expected "
             "'auto', 'scatter' or 'segsum'")
-    k = cfg.num_factors
+    # One record row = [v-block | slot_v | w | slot_w | pad]. For FFM the
+    # v-block is the flat (num_fields*K) per-row layout; everything below
+    # is width-agnostic, so FFM rides the same single-gather/single-write
+    # step (for adagrad_row, the row-wise second moment then spans the
+    # whole flat block — one accumulator per (feature) row, DLRM-style).
+    k = v_lanes(cfg)
     scatter_mode = sgd_cfg.pallas_scatter
 
     def train_step(state: FusedState, batch: SparseBatch):

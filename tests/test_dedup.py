@@ -214,14 +214,17 @@ class TestFusedPath:
         assert rmses[-1] < 0.6
         assert res.params.w.shape[0] == ds.num_features
 
-    def test_fused_rejects_adam_and_ffm(self):
+    def test_fused_rejects_adam_accepts_ffm(self):
         from sparkfm_tpu.solvers import sgd_fused
         cfg = FMConfig(num_features=32, num_factors=4)
         with pytest.raises(ValueError):
             sgd_fused.make_fused_train_step(
                 cfg, SGDConfig(optimizer="adam"))
-        with pytest.raises(ValueError):
-            sgd_fused.init_fused_state(cfg.replace(num_fields=3))
+        # FFM is supported since round 5 (flat v block widens the record);
+        # record: [v (nf*k) | slot_v | w | slot_w | pad]
+        st = sgd_fused.init_fused_state(cfg.replace(num_fields=3))
+        assert st.table.shape == (33, sgd_fused.record_width(4, 3))
+        assert sgd_fused.record_width(4, 3) == 128  # 2*12+2 -> 128
 
 
 def test_train_sgd_dedup_end_to_end():
@@ -439,7 +442,9 @@ def test_auto_routes_big_tables_to_hybrid():
                       feature_groups=tuple([0] * (1 << 20)))
     assert sgd_solver.resolve_update_path(groups, mk()) == "fused"
     ffm = FMConfig(num_features=1 << 20, num_factors=8, num_fields=3)
-    assert sgd_solver.resolve_update_path(ffm, mk()) == "dedup"
+    assert sgd_solver.resolve_update_path(ffm, mk()) == "fused"   # round 5
+    assert sgd_solver.resolve_update_path(
+        ffm, mk(optimizer="adam")) == "dedup"
     small = FMConfig(num_features=64, num_factors=8)
     assert sgd_solver.resolve_update_path(small, mk()) == "direct"
 
