@@ -261,9 +261,15 @@ def bench_deepfm(hb):
         hidden=(256, 128))
     sgd_cfg = SGDConfig(batch_size=batch, learning_rate=0.05,
                         optimizer="adagrad")
-    hb("deepfm: staging")
-    state = DF.init_state(DF.init_params(cfg, jax.random.PRNGKey(0)))
-    state = DF.pad_deepfm_state_for_dedup(state)
+    path = DF.resolve_deepfm_path(cfg, sgd_cfg)
+    hb(f"deepfm: path={path}, staging")
+    if path == "fused":
+        state = DF.init_fused_deepfm_state(cfg, jax.random.PRNGKey(0))
+        w0_of = lambda st: st["w0"]
+    else:
+        state = DF.pad_deepfm_state_for_dedup(
+            DF.init_state(DF.init_params(cfg, jax.random.PRNGKey(0))))
+        w0_of = lambda st: st["params"].fm.w0
     step_fn = DF.make_train_step(cfg, sgd_cfg)
 
     rng = np.random.default_rng(0)
@@ -285,7 +291,7 @@ def bench_deepfm(hb):
     rpc = _rpc_latency(hb)
     hb("deepfm: compiling step")
     state, aux = step_fn(state, batches[0])
-    _ = float(aux["loss"]) + float(state["params"].fm.w0)
+    _ = float(aux["loss"]) + float(w0_of(state))
     metric = "criteo_shape_deepfm16_train_throughput_1chip"
 
     def run(k, s0):
@@ -293,7 +299,7 @@ def bench_deepfm(hb):
         t0 = time.perf_counter()
         for i in range(k):
             state, aux = step_fn(state, batches[(s0 + i) % len(batches)])
-        _ = float(aux["loss"]) + float(state["params"].fm.w0)
+        _ = float(aux["loss"]) + float(w0_of(state))
         return k * batch / (time.perf_counter() - t0 - rpc)
 
     hb("deepfm: provisional (4 steps)")

@@ -344,8 +344,12 @@ class FM:
         # (MeshConfig.exchange: auto|unique|global|dense).
         self.mesh = _parse_mesh(mesh, exchange)
         # model: "fm" (default) or "deepfm" (FM heads + MLP tower; BASELINE
-        # config 5). deepfm requires solver="sgd", num_fields set (slots
-        # per example), and ignores the mesh (single-device for now).
+        # config 5). deepfm requires solver="sgd" and num_fields set (slots
+        # per example). It honors the mesh: with one set, training runs the
+        # sharded step (FM tables row-sharded over `model` with the
+        # unique/global exchange, tower data-parallel over `data` —
+        # parallel/sharded_deepfm.py); exchange pins apply (dense is
+        # rejected: DeepFM table updates are per-unique-row).
         if model not in ("fm", "deepfm"):
             raise ValueError(f"unknown model {model!r}")
         self.model = model

@@ -113,24 +113,38 @@ def predict(params: DeepFMParams, cfg: DeepFMConfig, ids, vals):
     return L.predict_for_task(cfg.fm.task, scores(params, cfg, ids, vals))
 
 
+def resolve_deepfm_path(cfg: DeepFMConfig, sgd_cfg: SGDConfig) -> str:
+    """auto policy: small tables -> direct XLA; big tables -> fused record
+    (round 5: ONE unique-row gather + ONE write for [v|slot_v|w|slot_w] —
+    the dedup path's four separate write-back scatters were the dominant
+    DeepFM stage, same disease the FFM path had; benchmarks/ablate_deepfm
+    .py). "dedup" stays available explicitly (and is the momentum-free
+    fallback shape the sharded path mirrors)."""
+    path = sgd_cfg.update_path
+    if path == "auto":
+        if cfg.fm.num_features < (1 << 16):
+            return "direct"
+        return "fused"
+    return path
+
+
 def make_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
     """Jitted step: sparse adagrad on tables + dense update on the tower.
 
-    Table access routes like plain FM (solvers/sgd.py::resolve_update_path
-    semantics): big tables (F >= 2^16, or update_path="dedup") go through
-    the dedup machinery — unique-compact the batch ids (host plan when the
-    batch carries one), ONE big-table gather/write per unique id, per-slot
-    math against the small (U, K) matrix — so DeepFM scales to hashed
-    Criteo-size tables exactly like the FM path (VERDICT r1 item 8).
+    Table access routes like plain FM (resolve_deepfm_path): big tables
+    go through the fused-record machinery — unique-compact the batch ids
+    (host plan when the batch carries one), ONE big-table gather/write
+    per unique id, per-slot math against the small (U, K) matrix — so
+    DeepFM scales to hashed Criteo-size tables exactly like the FM path
+    (VERDICT r1 item 8, r4 #2).
     """
-    fm_cfg = cfg.fm
-    path = sgd_cfg.update_path
-    if path == "auto":
-        path = "dedup" if fm_cfg.num_features >= (1 << 16) else "direct"
-    if path not in ("direct", "dedup"):
-        raise ValueError(f"deepfm supports update_path direct/dedup, "
+    path = resolve_deepfm_path(cfg, sgd_cfg)
+    if path not in ("direct", "dedup", "fused"):
+        raise ValueError(f"deepfm supports update_path direct/dedup/fused, "
                          f"got {path!r}")
     _check_deepfm_optimizer(sgd_cfg, path)
+    if path == "fused":
+        return _make_fused_train_step(cfg, sgd_cfg)
     if path == "dedup":
         return _make_dedup_train_step(cfg, sgd_cfg)
     return _make_direct_train_step(cfg, sgd_cfg)
@@ -146,8 +160,8 @@ def _check_deepfm_optimizer(sgd_cfg: SGDConfig, path: str) -> None:
             f"deepfm supports optimizer 'adagrad' or 'sgd', got "
             f"{sgd_cfg.optimizer!r} — it would otherwise train with a "
             "different optimizer than requested")
-    if path == "dedup" and sgd_cfg.momentum > 0:
-        raise ValueError("deepfm dedup path does not support momentum; "
+    if path in ("dedup", "fused") and sgd_cfg.momentum > 0:
+        raise ValueError(f"deepfm {path} path does not support momentum; "
                          "use update_path='direct' or momentum=0")
 
 
@@ -345,6 +359,151 @@ def _make_dedup_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def init_fused_deepfm_state(cfg: DeepFMConfig,
+                            key: Optional[jax.Array] = None) -> dict:
+    """Fused-record DeepFM state: the FM tables + their adagrad slots live
+    in ONE (F+1, W) row table [v (K) | slot_v (K) | w | slot_w | pad]
+    (W = the 128-lane tile above 2K+2; solvers/sgd_fused.py layout) so a
+    step pays one unique-row gather and one write-back instead of four
+    each way. Tower params/slots stay dense. Same keyed init as
+    init_params."""
+    from sparkfm_tpu.solvers import sgd_fused
+
+    params = init_params(cfg, key)
+    base = cfg.fm.replace(num_fields=0)   # single shared (F, K) table
+    fused = sgd_fused.fused_from_params(params.fm, base)
+    z = lambda x: jnp.zeros_like(x)
+    return {"table": fused.table, "w0": fused.w0,
+            "slot_w0": jnp.zeros((), jnp.float32),
+            "mlp_w": params.mlp_w, "mlp_b": params.mlp_b,
+            "smw": tuple(z(x) for x in params.mlp_w),
+            "smb": tuple(z(x) for x in params.mlp_b)}
+
+
+def params_from_fused_deepfm(state: dict, cfg: DeepFMConfig) -> DeepFMParams:
+    k = cfg.fm.num_factors
+    f = cfg.fm.num_features
+    return DeepFMParams(
+        fm=FMParams(w0=state["w0"], w=state["table"][:f, 2 * k],
+                    v=state["table"][:f, :k]),
+        mlp_w=state["mlp_w"], mlp_b=state["mlp_b"])
+
+
+def _make_fused_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
+    """Fused-record DeepFM step (round 5): mirrors
+    solvers/sgd_fused.make_fused_train_step with the tower's dense grads
+    riding along. One (U, W) gather feeds both heads (the embedding rows
+    ARE the FM v rows); one (U, W) scatter-set writes tables + slots."""
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.ops import pallas_rowio as PR
+    from sparkfm_tpu.solvers import sgd as sgd_solver
+
+    fm_cfg = cfg.fm
+    k = fm_cfg.num_factors
+
+    def train_step(state: dict, batch: SparseBatch):
+        table = state["table"]
+        F = table.shape[0] - 1             # last row = dedup dummy
+        W = table.shape[1]
+        n_slots = batch.ids.shape[0] * batch.ids.shape[1]
+        budget = sgd_cfg.unique_budget or E.auto_budget(n_slots)
+        if batch.plan is not None:
+            plan = batch.plan
+            budget = plan.uids.shape[0]
+        else:
+            plan = E.dedup_ids(batch.ids, budget, fill=F)
+        valid_u = jax.lax.iota(jnp.int32, budget) < jnp.minimum(
+            plan.count, budget)
+
+        rec_u = table.at[plan.uids].get(
+            indices_are_sorted=True, mode="promise_in_bounds")  # (U, W)
+        rec_u = jnp.where(valid_u[:, None], rec_u, 0.0)
+        v_u = rec_u[:, :k]
+        slot_v_u = rec_u[:, k:2 * k]
+        w_u = rec_u[:, 2 * k]
+        slot_w_u = rec_u[:, 2 * k + 1]
+        vw_u = jnp.concatenate([v_u, w_u[:, None]], axis=1)
+        vw_rows = vw_u[plan.ranks]                            # (B, L, k+1)
+        v_rows = vw_rows[..., :k]
+        w_rows = vw_rows[..., k]
+
+        def loss_of(w0, w_rows, v_rows, mlp_w, mlp_b):
+            pp = DeepFMParams(fm=FMParams(w0=w0, w=None, v=None),
+                              mlp_w=mlp_w, mlp_b=mlp_b)
+            s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
+            loss_fn = L.loss_for_task(fm_cfg.task)
+            wts = None if batch.mask is None else batch.mask.astype(
+                jnp.float32)
+            data_loss = loss_fn(s, batch.y, wts)
+            active = (batch.vals != 0).astype(jnp.float32)
+            if batch.mask is not None:
+                active = active * batch.mask[:, None]
+            denom = jnp.maximum(
+                jnp.sum(batch.mask.astype(jnp.float32))
+                if batch.mask is not None
+                else float(batch.vals.shape[0]), 1.0)
+            reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
+                   + fm_cfg.reg_v * jnp.sum(
+                       jnp.square(v_rows) * active[..., None])) / denom
+            return data_loss + reg, data_loss
+
+        grads, data_loss = jax.grad(
+            loss_of, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+            state["w0"], w_rows, v_rows, state["mlp_w"], state["mlp_b"])
+        g_w0, g_wrows, g_vrows, g_mw, g_mb = grads
+
+        # scatter-add accumulate (measured round 4: sorted segsum ~6%
+        # slower in-step at this shape; keep the scatter)
+        packed = jnp.concatenate(
+            [g_vrows.reshape(-1, k), g_wrows.reshape(-1, 1),
+             jnp.square(g_vrows).reshape(-1, k),
+             jnp.square(g_wrows).reshape(-1, 1)], axis=-1)
+        acc = E.accumulate_to_unique(
+            packed.reshape(batch.ids.shape + (2 * k + 2,)), plan, budget)
+        g_v_u, g_w_u = acc[:, :k], acc[:, k]
+        sq_v_u, sq_w_u = acc[:, k + 1:2 * k + 1], acc[:, 2 * k + 1]
+
+        lr, opt = sgd_cfg.learning_rate, sgd_cfg.optimizer
+        if opt == "adagrad":
+            slot_v_new = slot_v_u + sq_v_u
+            v_new = v_u - lr * g_v_u * jax.lax.rsqrt(
+                slot_v_new + sgd_cfg.adagrad_eps)
+            slot_w_new = slot_w_u + sq_w_u
+            w_new = w_u - lr * g_w_u * jax.lax.rsqrt(
+                slot_w_new + sgd_cfg.adagrad_eps)
+        else:                              # plain sgd
+            slot_v_new, slot_w_new = slot_v_u, slot_w_u
+            v_new = v_u - lr * g_v_u
+            w_new = w_u - lr * g_w_u
+        rec_new = jnp.concatenate(
+            [v_new, slot_v_new, w_new[:, None], slot_w_new[:, None],
+             jnp.zeros((budget, W - 2 * k - 2), jnp.float32)], axis=1)
+        new_table = PR.scatter_set(table, plan.uids, rec_new,
+                                   force=sgd_cfg.pallas_scatter,
+                                   unique_indices=True)
+
+        w0, sw0, _ = sgd_solver._dense_scalar_update(
+            opt, lr, sgd_cfg, state["w0"], state["slot_w0"], None,
+            g_w0, None)
+
+        new_mw, new_smw, new_mb, new_smb = [], [], [], []
+        for x, s, g in zip(state["mlp_w"], state["smw"], g_mw):
+            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
+            new_mw.append(x2); new_smw.append(s2)
+        for x, s, g in zip(state["mlp_b"], state["smb"], g_mb):
+            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
+            new_mb.append(x2); new_smb.append(s2)
+
+        new_state = {"table": new_table, "w0": w0, "slot_w0": sw0,
+                     "mlp_w": tuple(new_mw), "mlp_b": tuple(new_mb),
+                     "smw": tuple(new_smw), "smb": tuple(new_smb)}
+        return new_state, {"loss": data_loss,
+                           "unique_count": plan.count,
+                           "unique_overflow": plan.overflow}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def pad_deepfm_state_for_dedup(state: dict) -> dict:
     """Append the dedup dummy row to the FM tables + their slots."""
     pad = lambda x: jnp.concatenate(
@@ -410,19 +569,21 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                                      checkpoint_dir=checkpoint_dir,
                                      checkpoint_every=checkpoint_every,
                                      resume=resume)
-    params = init_params(cfg, key)
-    state = init_state(params)
-    path = sgd_cfg.update_path
-    if path == "auto":
-        path = "dedup" if cfg.fm.num_features >= (1 << 16) else "direct"
+    path = resolve_deepfm_path(cfg, sgd_cfg)
+    if path == "fused":
+        state = init_fused_deepfm_state(cfg, key)
+        get_params = lambda s: params_from_fused_deepfm(s, cfg)
+    else:
+        state = init_state(init_params(cfg, key))
+        get_params = lambda s: s["params"]
     dedup_budget = dedup_fill = None
     if path == "dedup":
         state = pad_deepfm_state_for_dedup(state)
-        if sgd_cfg.host_plan:
-            from sparkfm_tpu.ops import embedding as _E
-            dedup_budget = sgd_cfg.unique_budget or _E.auto_budget(
-                sgd_cfg.batch_size * train.max_nnz)
-            dedup_fill = cfg.fm.num_features
+    if path in ("dedup", "fused") and sgd_cfg.host_plan:
+        from sparkfm_tpu.ops import embedding as _E
+        dedup_budget = sgd_cfg.unique_budget or _E.auto_budget(
+            sgd_cfg.batch_size * train.max_nnz)
+        dedup_fill = cfg.fm.num_features
     step_fn = make_train_step(cfg, sgd_cfg)
     score_jit = jax.jit(lambda p, i, v: scores(p, cfg, i, v))
 
@@ -469,7 +630,7 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
         if eval_ds is not None and (epoch % eval_every == 0
                                     or epoch == sgd_cfg.epochs - 1):
             rec.update({f"eval_{k}": v
-                        for k, v in eval_metrics(state["params"],
+                        for k, v in eval_metrics(get_params(state),
                                                  eval_ds).items()})
         history.append(rec)
         if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
@@ -479,7 +640,7 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
     if ckpt is not None:
         ckpt.close()
     eps = n / max(time.perf_counter() - t0, 1e-9)
-    params = state["params"]
+    params = get_params(state)     # fused extraction already drops pad/dummy
     if path == "dedup":   # drop the dummy row
         f = cfg.fm.num_features
         params = DeepFMParams(

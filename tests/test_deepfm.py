@@ -110,25 +110,42 @@ def test_deepfm_facade_and_dedup_path():
 
 
 def test_deepfm_dedup_matches_direct():
-    """Dedup table access == direct access for DeepFM (exact adagrad
-    semantics, same as the FM paths)."""
+    """Dedup and fused table access == direct access for DeepFM (exact
+    adagrad semantics, same as the FM paths)."""
     ds = synth.synth_ctr(num_examples=1024, num_fields=5, num_buckets=256,
                          seed=32)
     cfg = _cfg(F=256, fields=5, K=4)
     res = {}
-    for path in ("direct", "dedup"):
+    for path in ("direct", "dedup", "fused"):
         sgd_cfg = SGDConfig(batch_size=256, learning_rate=0.1,
                             optimizer="adagrad", epochs=2,
                             update_path=path, unique_budget=1024)
         r = deepfm.train_deepfm(cfg, sgd_cfg, ds,
                                 key=jax.random.PRNGKey(3))
         res[path] = r
-    np.testing.assert_allclose(
-        np.asarray(res["dedup"].params.fm.v),
-        np.asarray(res["direct"].params.fm.v), rtol=1e-4, atol=1e-6)
-    np.testing.assert_allclose(
-        [h["train_loss"] for h in res["dedup"].history],
-        [h["train_loss"] for h in res["direct"].history], rtol=1e-5)
+    for path in ("dedup", "fused"):
+        np.testing.assert_allclose(
+            np.asarray(res[path].params.fm.v),
+            np.asarray(res["direct"].params.fm.v), rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(res[path].params.fm.w),
+            np.asarray(res["direct"].params.fm.w), rtol=1e-4, atol=1e-6)
+        for a, b in zip(res[path].params.mlp_w, res["direct"].params.mlp_w):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            [h["train_loss"] for h in res[path].history],
+            [h["train_loss"] for h in res["direct"].history], rtol=1e-5)
+
+
+def test_deepfm_auto_routes_big_tables_to_fused():
+    from sparkfm_tpu.models.deepfm import resolve_deepfm_path
+    big = _cfg(F=1 << 16, fields=5, K=4)
+    small = _cfg(F=256, fields=5, K=4)
+    assert resolve_deepfm_path(big, SGDConfig()) == "fused"
+    assert resolve_deepfm_path(small, SGDConfig()) == "direct"
+    assert resolve_deepfm_path(
+        big, SGDConfig(update_path="dedup")) == "dedup"
 
 
 def test_deepfm_checkpoint_bitexact_resume(tmp_path):
