@@ -364,8 +364,11 @@ def supervise() -> int:
     import threading
 
     # Cold/recovering tunnels measured up to ~150 s of pure backend init
-    # this round; 150 s would kill a healthy child mid-init.
-    deadline = float(os.environ.get("BENCH_TIMEOUT", 240))
+    # this round; 150 s would kill a healthy child mid-init. The als mode
+    # stages + sweeps the FULL 25M dataset (~10 min end to end measured),
+    # so it gets a bigger default window.
+    default_deadline = 900 if os.environ.get("BENCH_MODE") == "als" else 240
+    deadline = float(os.environ.get("BENCH_TIMEOUT", default_deadline))
     last_json: list = []
 
     for attempt in (1, 2):

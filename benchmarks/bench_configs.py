@@ -9,24 +9,32 @@ applies.
 
   als     BASELINE config 2 — MovieLens-25M shape rating regression:
           rank-32 FM, full-dataset ALS sweeps (F = 162541 users + 59047
-          movies = 221588 one-hot features, L = 2 slots/example).
-          Reference analog: the driver-sequential sweep at
-          ALS.scala:15-75; here it is the blocked device sweep
+          movies = 221588 one-hot features, L = 2 slots/example),
+          N = THE FULL 25M examples by default (VERDICT r4 #3; measured
+          r5: 100.2 s/sweep on v5e — the r4 linear extrapolation from a
+          500K slice said 59 s, optimistic because the memory-safe
+          large-N gather forms cost ~1.7x the small-N paired forms and
+          the sweep runs as K+1 dispatches past the runtime's ~60 s
+          single-dispatch kill). Reference analog: the driver-sequential
+          sweep at ALS.scala:15-75; here it is the blocked device sweep
           (solvers/als.py). Value = examples swept / sec; extra key
           sweep_ms = per-sweep wall time at the measured N.
   ffm     BASELINE config 4 — Avazu shape CTR: field-aware FM, 22 fields,
-          hashed 2^22 buckets, rank 8, B=8192 (dedup table path).
+          hashed buckets (default 2^20; BENCH_BUCKETS=4194304 for the
+          full 2^22 table — same throughput since the round-5 fused
+          record), rank 8, B=8192, fused-record path + host ladder plans.
   deepfm  BASELINE config 5 — Criteo-shape DeepFM: 39 fields, 2^20
-          buckets, rank 16, tower (256, 128), B=8192 (dedup path + host
-          ladder plans).
+          buckets, rank 16, tower (256, 128), B=8192 (fused-record path
+          + host ladder plans).
 
-vs_baseline is informational for these modes: the reference publishes no
-numbers for ANY config (BASELINE.md), so the ratio is against the same
-north-star per-chip rate the headline uses (10M/8 = 1.25M ex/s/chip) —
-a denominator, not a like-for-like gate (FFM does num_fields x the flops
-per example; ALS is a different algorithm entirely).
+vs_baseline is NULL for these modes (VERDICT r4 #6): the reference
+publishes no numbers for ANY config (BASELINE.md), and dividing by the
+headline's 1.25M ex/s/chip north-star denominator wrote wrong-looking
+ratios into the machine-read artifact (FFM does num_fields x the flops
+per example; ALS is a different algorithm entirely). Each record instead
+carries its own "baseline" note naming the comparison that WOULD apply.
 
-Env knobs: BENCH_ALS_N (default 500_000 examples; the tunnel makes staging the full 25M impractical, and sweep time scales linearly in nnz), BENCH_STEPS.
+Env knobs: BENCH_ALS_N (default 25_000_000 = the full dataset size; staging takes ~3.5 min through the tunnel), BENCH_STEPS (default 2 for als).
 """
 
 from __future__ import annotations
@@ -37,13 +45,14 @@ import time
 
 import numpy as np
 
-BASELINE_PER_CHIP = 10e6 / 8
-
-
-def _emit(metric, value, extra=None, provisional=False):
+def _emit(metric, value, extra=None, provisional=False, baseline=None):
+    """One JSON line. vs_baseline is null for the config modes — no
+    published reference number exists for any of them (see module doc);
+    `baseline` is a human-readable note naming the would-be comparison."""
     rec = {"metric": metric, "value": round(value, 1),
-           "unit": "examples/sec",
-           "vs_baseline": round(value / BASELINE_PER_CHIP, 4)}
+           "unit": "examples/sec", "vs_baseline": None,
+           "baseline": baseline or ("no published reference number for "
+                                    "this config (BASELINE.md)")}
     if extra:
         rec.update(extra)
     if provisional:
@@ -73,7 +82,7 @@ def bench_als(hb):
     from sparkfm_tpu.models import fm as fm_model
     from sparkfm_tpu.solvers import als as A
 
-    n = int(os.environ.get("BENCH_ALS_N", 500_000))
+    n = int(os.environ.get("BENCH_ALS_N", 25_000_000))
     users, movies = 162541, 59047                 # true ML-25M cardinality
     f = users + movies
     rng = np.random.default_rng(0)
@@ -99,10 +108,22 @@ def bench_als(hb):
 
     n_ranks = int(ws.present.shape[0])
     cpure = A.blocks_are_column_pure(ds, np.asarray(ws.block_of_feat))
-    hb(f"als: column_pure={cpure}")
-    sweep = jax.jit(lambda p, w: A.als_sweep_compact(
-        p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv,
-        column_pure=cpure))
+    uniform = cpure and A.csc_blocks_uniform(ds,
+                                             np.asarray(ws.block_of_feat))
+    # the runtime kills single dispatches over ~60 s ("TPU worker
+    # crashed", measured): past ~6M examples run the sweep as K+1
+    # dispatches — identical update sequence (tests/test_als.py)
+    dispatched = n > 6_000_000
+    hb(f"als: column_pure={cpure} csc_uniform={uniform} "
+       f"dispatched={dispatched}")
+    if dispatched:
+        sweep = lambda p, w: A.als_sweep_compact_dispatched(
+            p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv,
+            column_pure=cpure, csc_uniform=uniform)
+    else:
+        sweep = jax.jit(lambda p, w: A.als_sweep_compact(
+            p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv,
+            column_pure=cpure, csc_uniform=uniform))
     rpc = _rpc_latency(hb)
     hb("als: compiling sweep")
     params = sweep(params, ws)
@@ -122,7 +143,7 @@ def bench_als(hb):
     eps, sw = run(1)
     _emit(metric, eps, {"sweep_ms": round(sw * 1e3, 1), "n_examples": n},
           provisional=True)
-    k = int(os.environ.get("BENCH_STEPS", 4))
+    k = int(os.environ.get("BENCH_STEPS", 2))
     hb(f"als: measuring ({k} sweeps)")
     eps, sw = run(k)
     _emit(metric, eps, {"sweep_ms": round(sw * 1e3, 1), "n_examples": n})

@@ -856,10 +856,14 @@ def segment_colsums(streams, seg: jnp.ndarray, num_segments: int,
     from sparkfm_tpu.ops.pallas_rowio import use_pallas_rowio
     streams = tuple(streams)
     if force == "xla" or (force == "auto" and not use_pallas_rowio()):
-        packed = jnp.stack(streams, axis=1)
-        return jax.ops.segment_sum(packed, seg,
-                                   num_segments=num_segments,
-                                   indices_are_sorted=True)
+        # one 1-D segment_sum per stream: stacking to (N, S) first lays
+        # out T(8,128)-tiled (25.6x padding at S=5 — 25.6 GB at the full
+        # ML-25M shape, a measured compile-time OOM); per-stream sums
+        # are padding-free and exactly the same f32 reduction order
+        return jnp.stack(
+            [jax.ops.segment_sum(s, seg, num_segments=num_segments,
+                                 indices_are_sorted=True)
+             for s in streams], axis=1)
     interpret = force == "interpret"
     n = seg.shape[0]
     pad_n = (-n) % tile

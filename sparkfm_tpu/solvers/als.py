@@ -90,9 +90,14 @@ class ALSWorkspace:
     #   present:  (Fp,) int32 present feature ids (rank r <-> feature
     #             present[r]); absent features never update.
     # The retired CSR fields ids/vals are REPURPOSED by the compact
-    # sweep: ids holds the (N, L) compact RANKS per slot and vals the
-    # (N, L) values — per-example sums (q, score, e/q patches) become
-    # contiguous row reductions instead of by-example scatter-adds.
+    # sweep: ids holds the (L, N) compact RANKS per slot and vals the
+    # (L, N) values — per-example sums (q, score, e/q patches) become
+    # contiguous column reductions instead of by-example scatter-adds.
+    # TRANSPOSED storage is load-bearing at scale: an (N, L) layout puts
+    # L in the lane dim, and the per-block minor-axis dynamic slice
+    # forces a T(8,128)-tiled copy — 64x padding = 11.9 GB at the full
+    # ML-25M shape (measured compile-time OOM). (L, N) slices the major
+    # axis and pads only L -> 8 sublanes.
     col_rank: Optional[jnp.ndarray] = None
     present: Optional[jnp.ndarray] = None
 
@@ -139,8 +144,9 @@ def build_workspace(ds: SparseDataset, cfg: FMConfig,
     rank_csr = rank_of_feat[ds.ids]
 
     ws = ALSWorkspace(
-        ids=jnp.asarray(rank_csr),          # (N, L) compact ranks (CSR)
-        vals=jnp.asarray(ds.vals.astype(np.float32)),
+        ids=jnp.asarray(np.ascontiguousarray(rank_csr.T)),
+        vals=jnp.asarray(np.ascontiguousarray(
+            ds.vals.astype(np.float32).T)),     # (L, N) — see class doc
         y=jnp.asarray(ds.y),
         col_feat=jnp.asarray(col_feat), col_row=jnp.asarray(col_row),
         col_val=jnp.asarray(col_val),
@@ -300,10 +306,232 @@ def blocks_are_column_pure(ds: SparseDataset, block_of_feat) -> bool:
     return True
 
 
+def csc_blocks_uniform(ds: SparseDataset, block_of_feat) -> bool:
+    """True iff the feature-sorted CSC view is partitioned into
+    num_blocks CONTIGUOUS runs of exactly N entries each, run b holding
+    precisely block b's entries (block assignment monotone in feature id
+    + one entry per example per block — the slot_blocks layout). Then
+    every per-block stream in the compact sweep can run on a static
+    N-slice of the CSC arrays instead of the full nnz, with pure 1-D
+    gathers: 1/L of the gather/stream work and ZERO 2-D temps (the
+    (N, 2)-shaped pairing temps lay out T(8,128)-tiled — 64x padding =
+    11.9 GB at the full ML-25M shape, a measured TPU-worker crash)."""
+    import numpy as _np
+    bof = _np.asarray(block_of_feat)
+    ids = _np.asarray(ds.ids)
+    n, l = ids.shape
+    nb = int(bof.max()) + 1
+    if nb * n != ids.size:
+        return False
+    # sort-free structure check (an argsort here measured ~39 s of host
+    # time at N=4M): the feature-sorted CSC is partitioned into exact
+    # N-runs per block iff (a) block id is monotone in feature id over
+    # the features that APPEAR (absent features — zipf tails — are not
+    # in the CSC and slot_blocks parks them in block 0, which must not
+    # veto) and (b) every block owns exactly N entries. Together they
+    # pin run b to [b*N, (b+1)*N).
+    occur = _np.bincount(ids.reshape(-1), minlength=len(bof))
+    present_blocks = bof[occur > 0]
+    if not bool(_np.all(_np.diff(present_blocks) >= 0)):
+        return False
+    counts = _np.bincount(bof[ids.reshape(-1)], minlength=nb)
+    return bool(_np.all(counts == n))
+
+
+def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
+                 reg0: float, reg_w, reg_v, use_bias: bool,
+                 use_linear: bool, column_pure: bool, csc_uniform: bool,
+                 K: int):
+    """Shared machinery of the compact sweep: returns (fwd_w_fn,
+    factor_fn) pure functions so the sweep can run as ONE jit
+    (:func:`als_sweep_compact`) or as K+1 dispatches
+    (:func:`als_sweep_compact_dispatched` — the tunnel/runtime kills
+    single dispatches over ~60 s, measured: an innocent 90 s matmul
+    chain dies with "TPU worker crashed" at ~62 s, and so did the
+    full-ML-25M single-jit sweep).
+
+    Layout rules discovered the hard way (all measured on v5e):
+      * minor-axis (N, 2) paired gathers are fastest (8.3 s/sweep at
+        N=4M) but their HLO temps lay out T(8,128)-tiled — 64x padding,
+        12.8 GB at N=25M -> compile OOM / worker crash. Allowed only
+        while the padded temp stays < ~3 GiB (paired_minor).
+      * above that, csc_uniform (host-verified: the feature-sorted CSC
+        splits into exact N-runs per block) runs every per-block stream
+        on a static N-slice with pure 1-D gathers — 36.7 s/sweep at
+        N=8M vs 58.5 s for unpaired full-stream gathers.
+      * the batched (N, L, K) forward OOMs at compile time beyond
+        ~1 GiB of gather transients (ADVICE r4 #2); a per-factor fori
+        replaces it above the threshold.
+    """
+    from sparkfm_tpu.ops import pallas_segsum as SS
+
+    Fp = num_ranks
+    present = ws.present
+    rank_csr = ws.ids                                   # (L, N)
+    vals_csr = ws.vals                                  # (L, N)
+    col_rank = ws.col_rank
+    col_row = ws.col_row
+    x = ws.col_val
+    x2 = x * x
+    n_ex = ws.y.shape[0]
+
+    paired_minor = rank_csr.shape[-1] * 512 <= (3 << 30)
+    csc_uniform = csc_uniform and not paired_minor
+
+    def _csc_slice(arr, b):
+        # block b's CSC entries = the contiguous [b*N, (b+1)*N) run
+        # (host-verified by csc_blocks_uniform)
+        return jax.lax.dynamic_slice_in_dim(arr, b * n_ex, n_ex)
+
+    def _patch(arr_c, b):
+        """Per-example sum of a compact (Fp,)-indexed quantity over
+        block b's slots. column_pure: block b IS CSR column b -> one
+        (N,) gather; else the generic (L, N) gather + column sum."""
+        if column_pure:
+            rb = jax.lax.dynamic_index_in_dim(rank_csr, b, axis=0,
+                                              keepdims=False)
+            vb = jax.lax.dynamic_index_in_dim(vals_csr, b, axis=0,
+                                              keepdims=False)
+            return arr_c[rb] * vb, vb
+        return jnp.sum(arr_c[rank_csr] * vals_csr, axis=0), None
+
+    def fwd_w_fn(params):
+        """Forward + global bias + blocked linear weights.
+        Returns (w0_new, w_c, v_c, e)."""
+        w_c = params.w[present]
+        v_c = params.v[present]                         # (Fp, K)
+        den_w_c = ws.den_w[present]
+        block_c = ws.block_of_feat[present]
+        rw_c = reg_w[present] if jnp.ndim(reg_w) else reg_w
+        mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
+
+        batched_bytes = rank_csr.size * K * 4
+        if batched_bytes <= (1 << 30):
+            v_rows = v_c[rank_csr]                      # (L, N, K)
+            vx = v_rows * vals_csr[..., None]
+            sK = jnp.sum(vx, axis=0)                    # (N, K)
+            ssq = jnp.sum(jnp.square(vx), axis=(0, 2))
+            score = 0.5 * (jnp.sum(jnp.square(sK), axis=-1) - ssq)
+        else:
+            def fwd_f(f, acc):
+                vf = jax.lax.dynamic_index_in_dim(v_c, f, axis=1,
+                                                  keepdims=False)
+                vr = vf[rank_csr] * vals_csr            # (L, N)
+                qf = jnp.sum(vr, axis=0)
+                sqf = jnp.sum(jnp.square(vr), axis=0)
+                return acc + 0.5 * (jnp.square(qf) - sqf)
+
+            score = jax.lax.fori_loop(0, K, fwd_f, jnp.zeros_like(ws.y))
+        if use_linear:
+            score = score + jnp.sum(w_c[rank_csr] * vals_csr, axis=0)
+        if use_bias:
+            score = score + params.w0
+        e = score - ws.y
+
+        if use_bias:
+            w0_new = _guarded_theta(params.w0, jnp.sum(e * mask),
+                                    jnp.sum(mask), reg0)
+            e = e + (w0_new - params.w0)
+        else:
+            w0_new = params.w0
+
+        def w_block(b, carry):
+            w_c, e = carry
+            if csc_uniform:
+                num = SS.segment_colsums(
+                    [e[_csc_slice(col_row, b)] * _csc_slice(x, b)],
+                    _csc_slice(col_rank, b), Fp)[:, 0]
+            else:
+                num = SS.segment_colsums([e[col_row] * x],
+                                         col_rank, Fp)[:, 0]
+            theta = _guarded_theta(w_c, num, den_w_c, rw_c)
+            delta = jnp.where(block_c == b, theta - w_c, 0.0)
+            de, _ = _patch(delta, b)
+            return (w_c + delta, e + de)
+
+        if use_linear:
+            w_c, e = jax.lax.fori_loop(0, num_blocks, w_block, (w_c, e))
+        return w0_new, w_c, v_c, e
+
+    def factor_fn(f, v_c_all, e):
+        """One factor's blocked coordinate updates; returns (v_c, e)."""
+        block_c = ws.block_of_feat[present]
+        rv_c = reg_v[present] if jnp.ndim(reg_v) else reg_v
+        vf0 = v_c_all[:, f]                             # (Fp,)
+        q0 = jnp.sum(vf0[rank_csr] * vals_csr, axis=0)  # (N,)
+
+        def v_block(b, c2):
+            vf, q, e = c2
+            if csc_uniform:                      # large-N path
+                crow_b = _csc_slice(col_row, b)
+                e_csc = e[crow_b]
+                q_csc = q[crow_b]
+                xb = _csc_slice(x, b)
+                xb2 = xb * xb
+                seg_b = _csc_slice(col_rank, b)
+            elif paired_minor:
+                eq = jnp.stack([e, q], axis=1)[col_row]  # (nnz, 2)
+                e_csc = eq[:, 0]
+                q_csc = eq[:, 1]
+                xb, xb2, seg_b = x, x2, col_rank
+            else:
+                # no pairing above the padded-temp threshold and no
+                # uniform structure: two safe 1-D gathers
+                e_csc = e[col_row]
+                q_csc = q[col_row]
+                xb, xb2, seg_b = x, x2, col_rank
+            exq = e_csc * xb * q_csc
+            sums = SS.segment_colsums(
+                [exq, e_csc * xb2, xb2 * q_csc * q_csc,
+                 xb2 * xb * q_csc, xb2 * xb2],
+                seg_b, Fp)                              # (Fp, 5)
+            num = sums[:, 0] - vf * sums[:, 1]
+            den = jnp.maximum(
+                sums[:, 2] - 2.0 * vf * sums[:, 3]
+                + jnp.square(vf) * sums[:, 4], 0.0)
+            theta = _guarded_theta(vf, num, den, rv_c)
+            in_b = block_c == b
+            delta = jnp.where(in_b, theta - vf, 0.0)
+            vf_new = vf + delta
+            dsq = jnp.where(in_b, jnp.square(vf_new) - jnp.square(vf),
+                            0.0)
+            if column_pure:
+                rb = jax.lax.dynamic_index_in_dim(rank_csr, b, axis=0,
+                                                  keepdims=False)
+                vb = jax.lax.dynamic_index_in_dim(vals_csr, b, axis=0,
+                                                  keepdims=False)
+                if paired_minor:
+                    dd = jnp.stack([delta, dsq], axis=1)[rb]    # (N, 2)
+                    dq = dd[:, 0] * vb
+                    de_sq = dd[:, 1] * jnp.square(vb)
+                else:
+                    dq = delta[rb] * vb
+                    de_sq = dsq[rb] * jnp.square(vb)
+            elif paired_minor:
+                dd = jnp.stack([delta, dsq], axis=1)[rank_csr]  # (L,N,2)
+                dq = jnp.sum(dd[..., 0] * vals_csr, axis=0)
+                de_sq = jnp.sum(dd[..., 1] * jnp.square(vals_csr), axis=0)
+            else:
+                dq = jnp.sum(delta[rank_csr] * vals_csr, axis=0)
+                de_sq = jnp.sum(dsq[rank_csr] * jnp.square(vals_csr),
+                                axis=0)
+            q_new = q + dq
+            e_new = (e + 0.5 * (jnp.square(q_new) - jnp.square(q))
+                     - 0.5 * de_sq)
+            return (vf_new, q_new, e_new)
+
+        vf, q, e = jax.lax.fori_loop(0, num_blocks, v_block,
+                                     (vf0, q0, e))
+        return v_c_all.at[:, f].set(vf), e
+
+    return fwd_w_fn, factor_fn
+
+
 def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                    num_ranks: int, reg0: float, reg_w, reg_v,
                    use_bias: bool = True, use_linear: bool = True,
-                   column_pure: bool = False) -> FMParams:
+                   column_pure: bool = False,
+                   csc_uniform: bool = False) -> FMParams:
     """Round-4 factored compact sweep — same math as _sweep_impl, ~5x
     faster on TPU. Three structural changes:
 
@@ -319,136 +547,85 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
          reduced in ONE streaming pass over the sorted CSC view
          (ops/pallas_segsum.py::segment_colsums, dense col_rank) — no
          per-feature scatter-add, no v gather into the stream.
-      3. CSR-ROW per-example sums: q, the forward score, and every e/q
-         patch are (N, L) rank-space gathers + contiguous row
+      3. CSC-COLUMN per-example sums: q, the forward score, and every
+         e/q patch are (L, N) rank-space gathers + contiguous column
          reductions instead of by-example scatter-adds (ws.ids/ws.vals
-         carry the rank-space CSR view).
+         carry the transposed rank-space CSR view).
 
     Measured (v5e, ML-25M shape, N=500K, rank 32, 2 slot blocks):
-    7.7 s -> ~1.5 s per sweep; see docs/PERF.md.
+    7.7 s -> ~1.2 s per sweep; see docs/PERF.md.
     """
-    from sparkfm_tpu.ops import pallas_segsum as SS
-
-    Fp = num_ranks
     K = params.v.shape[-1]
+    fwd_w_fn, factor_fn = _compact_ctx(
+        ws, num_blocks, num_ranks, reg0, reg_w, reg_v, use_bias,
+        use_linear, column_pure, csc_uniform, K)
+    w0_new, w_c, v_c, e = fwd_w_fn(params)
+
+    def body(f, carry):
+        v_c, e = carry
+        return factor_fn(f, v_c, e)
+
+    v_c, e = jax.lax.fori_loop(0, K, body, (v_c, e))
+
     present = ws.present
-    rank_csr = ws.ids                                   # (N, L)
-    vals_csr = ws.vals                                  # (N, L)
-    col_rank = ws.col_rank
-    col_row = ws.col_row
-    x = ws.col_val
-    x2 = x * x
-    x3 = x2 * x
-    x4 = x2 * x2
+    w_new = params.w.at[present].set(w_c) if use_linear else params.w
+    v_new = params.v.at[present].set(v_c)
+    return FMParams(w0=w0_new, w=w_new, v=v_new)
 
-    w_c = params.w[present]
-    v_c = params.v[present]                             # (Fp, K)
-    den_w_c = ws.den_w[present]
-    block_c = ws.block_of_feat[present]
-    rw_c = reg_w[present] if jnp.ndim(reg_w) else reg_w
-    rv_c = reg_v[present] if jnp.ndim(reg_v) else reg_v
-    mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
 
-    # ---- forward score from the rank-space CSR view (one batched pass
-    # over all K factors; replaces the K-iteration fori of _sweep_impl)
-    v_rows = v_c[rank_csr]                              # (N, L, K)
-    vx = v_rows * vals_csr[..., None]
-    s = jnp.sum(vx, axis=1)                             # (N, K)
-    ssq = jnp.sum(jnp.square(vx), axis=(1, 2))
-    score = 0.5 * (jnp.sum(jnp.square(s), axis=-1) - ssq)
-    if use_linear:
-        score = score + jnp.sum(w_c[rank_csr] * vals_csr, axis=1)
-    if use_bias:
-        score = score + params.w0
-    e = score - ws.y
+@partial(jax.jit, static_argnames=("num_blocks", "num_ranks", "reg0",
+                                   "use_bias", "use_linear",
+                                   "column_pure", "csc_uniform", "K"))
+def _jit_fwd_w(params, ws, num_blocks, num_ranks, reg0, reg_w, reg_v,
+               use_bias, use_linear, column_pure, csc_uniform, K):
+    fwd_w_fn, _ = _compact_ctx(ws, num_blocks, num_ranks, reg0, reg_w,
+                               reg_v, use_bias, use_linear, column_pure,
+                               csc_uniform, K)
+    return fwd_w_fn(params)
 
-    # ---- global bias
-    if use_bias:
-        w0_new = _guarded_theta(params.w0, jnp.sum(e * mask),
-                                jnp.sum(mask), reg0)
-        e = e + (w0_new - params.w0)
-    else:
-        w0_new = params.w0
 
-    # ---- linear weights, blocked
-    def _patch(arr_c, b):
-        """Per-example sum of a compact (Fp,)-indexed quantity over
-        block b's slots. column_pure: block b IS CSR column b -> one
-        (N,) gather; else the generic (N, L) gather + row sum."""
-        if column_pure:
-            rb = jax.lax.dynamic_index_in_dim(rank_csr, b, axis=1,
-                                              keepdims=False)
-            vb = jax.lax.dynamic_index_in_dim(vals_csr, b, axis=1,
-                                              keepdims=False)
-            return arr_c[rb] * vb, vb
-        return jnp.sum(arr_c[rank_csr] * vals_csr, axis=1), None
+@partial(jax.jit, static_argnames=("num_blocks", "num_ranks", "reg0",
+                                   "use_bias", "use_linear",
+                                   "column_pure", "csc_uniform", "K"),
+         donate_argnums=(1, 2))
+def _jit_factor(f, v_c, e, ws, num_blocks, num_ranks, reg0, reg_w,
+                reg_v, use_bias, use_linear, column_pure, csc_uniform,
+                K):
+    _, factor_fn = _compact_ctx(ws, num_blocks, num_ranks, reg0, reg_w,
+                                reg_v, use_bias, use_linear, column_pure,
+                                csc_uniform, K)
+    return factor_fn(f, v_c, e)
 
-    def w_block(b, carry):
-        w_c, e = carry
-        num = SS.segment_colsums([e[col_row] * x], col_rank, Fp)[:, 0]
-        theta = _guarded_theta(w_c, num, den_w_c, rw_c)
-        delta = jnp.where(block_c == b, theta - w_c, 0.0)
-        de, _ = _patch(delta, b)
-        return (w_c + delta, e + de)
 
-    if use_linear:
-        w_c, e = jax.lax.fori_loop(0, num_blocks, w_block, (w_c, e))
-
-    # ---- factors
-    def factor_body(f, carry):
-        v_c_all, e = carry
-        vf0 = v_c_all[:, f]                             # (Fp,)
-        q0 = jnp.sum(vf0[rank_csr] * vals_csr, axis=1)  # (N_ex,)
-
-        def v_block(b, c2):
-            vf, q, e = c2
-            # ONE 2-lane gather for both example-side streams (1-lane
-            # gathers are op-bound ~10 ns/el; pairing halves the count)
-            eq = jnp.stack([e, q], axis=1)[col_row]     # (nnz, 2)
-            e_csc = eq[:, 0]
-            q_csc = eq[:, 1]
-            exq = e_csc * x * q_csc
-            sums = SS.segment_colsums(
-                [exq, e_csc * x2, x2 * q_csc * q_csc, x3 * q_csc, x4],
-                col_rank, Fp)                           # (Fp, 5)
-            num = sums[:, 0] - vf * sums[:, 1]
-            den = jnp.maximum(
-                sums[:, 2] - 2.0 * vf * sums[:, 3]
-                + jnp.square(vf) * sums[:, 4], 0.0)
-            theta = _guarded_theta(vf, num, den, rv_c)
-            in_b = block_c == b
-            delta = jnp.where(in_b, theta - vf, 0.0)
-            vf_new = vf + delta
-            dsq = jnp.where(in_b, jnp.square(vf_new) - jnp.square(vf),
-                            0.0)
-            # ONE paired gather for both patch streams; column-pure
-            # blocks read a single CSR column (exact: block b's features
-            # live only in column b)
-            pair = jnp.stack([delta, dsq], axis=1)          # (Fp, 2)
-            if column_pure:
-                rb = jax.lax.dynamic_index_in_dim(rank_csr, b, axis=1,
-                                                  keepdims=False)
-                vb = jax.lax.dynamic_index_in_dim(vals_csr, b, axis=1,
-                                                  keepdims=False)
-                dd = pair[rb]                               # (N, 2)
-                dq = dd[:, 0] * vb
-                de_sq = dd[:, 1] * jnp.square(vb)
-            else:
-                dd = pair[rank_csr]                         # (N, L, 2)
-                dq = jnp.sum(dd[..., 0] * vals_csr, axis=1)
-                de_sq = jnp.sum(dd[..., 1] * jnp.square(vals_csr), axis=1)
-            q_new = q + dq
-            e_new = (e + 0.5 * (jnp.square(q_new) - jnp.square(q))
-                     - 0.5 * de_sq)
-            return (vf_new, q_new, e_new)
-
-        vf, q, e = jax.lax.fori_loop(0, num_blocks, v_block,
-                                     (vf0, q0, e))
-        return (v_c_all.at[:, f].set(vf), e)
-
-    v_c, e = jax.lax.fori_loop(0, K, factor_body, (v_c, e))
-
-    # ---- expand back to feature space (absent rows untouched)
+def als_sweep_compact_dispatched(params: FMParams, ws: ALSWorkspace,
+                                 num_blocks: int, num_features: int,
+                                 num_ranks: int, reg0: float, reg_w,
+                                 reg_v, use_bias: bool = True,
+                                 use_linear: bool = True,
+                                 column_pure: bool = False,
+                                 csc_uniform: bool = False) -> FMParams:
+    """The compact sweep as K+1 dispatches (host factor loop) instead of
+    one jit. EXACTLY the update sequence of :func:`als_sweep_compact`
+    (same fwd_w_fn / factor_fn; the fori becomes a Python loop), needed
+    at large N because the runtime kills single dispatches over ~60 s
+    ("TPU worker crashed" — measured on an innocent 90 s matmul chain
+    and on the full-ML-25M single-jit sweep). Dispatch overhead:
+    (K+1) x ~10-25 ms tunnel RPC, noise against multi-second factors.
+    """
+    del num_features
+    K = params.v.shape[-1]
+    args = (num_blocks, num_ranks, reg0, reg_w, reg_v, use_bias,
+            use_linear, column_pure, csc_uniform, K)
+    kw = dict(num_blocks=num_blocks, num_ranks=num_ranks, reg0=reg0,
+              use_bias=use_bias, use_linear=use_linear,
+              column_pure=column_pure, csc_uniform=csc_uniform, K=K)
+    del args
+    w0_new, w_c, v_c, e = _jit_fwd_w(params, ws, reg_w=reg_w,
+                                     reg_v=reg_v, **kw)
+    for f in range(K):
+        v_c, e = _jit_factor(jnp.int32(f), v_c, e, ws, reg_w=reg_w,
+                             reg_v=reg_v, **kw)
+    present = ws.present
     w_new = params.w.at[present].set(w_c) if use_linear else params.w
     v_new = params.v.at[present].set(v_c)
     return FMParams(w0=w0_new, w=w_new, v=v_new)
@@ -456,19 +633,28 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
                                    "num_ranks", "reg0", "use_bias",
-                                   "use_linear", "column_pure"))
+                                   "use_linear", "column_pure",
+                                   "csc_uniform"))
 def als_sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                       num_features: int, num_ranks: int, reg0: float,
                       reg_w, reg_v, use_bias: bool = True,
                       use_linear: bool = True,
-                      column_pure: bool = False) -> FMParams:
+                      column_pure: bool = False,
+                      csc_uniform: bool = False) -> FMParams:
     """Jitted compact sweep (see _sweep_compact). Requires a workspace
     from :func:`build_workspace` (col_rank/present/CSR rank views).
-    column_pure: host-verified via :func:`blocks_are_column_pure`."""
+    column_pure: host-verified via :func:`blocks_are_column_pure`;
+    csc_uniform: host-verified via :func:`csc_blocks_uniform` (implies
+    per-block streams run on static N-slices of the CSC view). For
+    large N use :func:`als_sweep_compact_dispatched` (the runtime kills
+    single dispatches over ~60 s)."""
     del num_features
+    if csc_uniform and not column_pure:
+        raise ValueError("csc_uniform requires column_pure")
     return _sweep_compact(params, ws, num_blocks, num_ranks, reg0,
                           reg_w, reg_v, use_bias, use_linear,
-                          column_pure=column_pure)
+                          column_pure=column_pure,
+                          csc_uniform=csc_uniform)
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
@@ -583,12 +769,19 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
     n_ranks = int(ws.present.shape[0]) if ws.present is not None else 0
     cpure = bool(n_ranks) and blocks_are_column_pure(
         train, np.asarray(ws.block_of_feat))
+    uniform = cpure and csc_blocks_uniform(
+        train, np.asarray(ws.block_of_feat))
+    # past ~6M examples the single-jit sweep exceeds the runtime's ~60 s
+    # dispatch kill threshold; run it as K+1 dispatches instead (exact
+    # same update sequence, tests/test_als.py)
+    sweep_fn = (als_sweep_compact_dispatched
+                if train.ids.shape[0] > 6_000_000 else als_sweep_compact)
     for epoch in range(als_cfg.epochs):
         if n_ranks:
-            params = als_sweep_compact(
+            params = sweep_fn(
                 params, ws, num_blocks, cfg.num_features, n_ranks,
                 cfg.reg0, reg_w_vec, reg_v_vec, cfg.use_bias,
-                cfg.use_linear, column_pure=cpure)
+                cfg.use_linear, column_pure=cpure, csc_uniform=uniform)
         else:
             params = als_sweep(params, ws, num_blocks, cfg.num_features,
                                cfg.reg0, reg_w_vec, reg_v_vec,

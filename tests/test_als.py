@@ -245,3 +245,93 @@ def test_column_pure_patches_match_generic():
     import dataclasses as _dc
     ds2 = _dc.replace(ds, ids=ids2)
     assert not blocks_are_column_pure(ds2, np.asarray(blocks))
+
+
+def test_compact_sweep_csc_uniform_parity():
+    """csc_uniform sliced-stream sweep == the full-stream sweep (round
+    5: per-block streams restricted to the block's contiguous CSC run;
+    host structure check csc_blocks_uniform)."""
+    import jax
+    from sparkfm_tpu.solvers import als as A
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.config import ALSConfig, FMConfig
+    from sparkfm_tpu.data.batching import SparseDataset
+
+    rng = np.random.default_rng(7)
+    n, users, movies = 600, 40, 25
+    ids = np.stack([rng.integers(0, users, n),
+                    users + rng.integers(0, movies, n)], axis=1
+                   ).astype(np.int32)
+    vals = np.ones((n, 2), np.float32)
+    y = rng.normal(size=(n,)).astype(np.float32)
+    ds = SparseDataset(ids=ids, vals=vals, y=y, num_features=users + movies)
+    cfg = FMConfig(num_features=users + movies, num_factors=4,
+                   reg_w=0.1, reg_v=0.5, seed=0)
+    als_cfg = ALSConfig(feature_blocks=A.slot_blocks(ds))
+    ws, nb = A.build_workspace(ds, cfg, als_cfg)
+    assert A.blocks_are_column_pure(ds, np.asarray(ws.block_of_feat))
+    assert A.csc_blocks_uniform(ds, np.asarray(ws.block_of_feat))
+    n_ranks = int(ws.present.shape[0])
+    params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+    a = params
+    b = params
+    for _ in range(2):
+        a = A.als_sweep_compact(a, ws, nb, cfg.num_features, n_ranks,
+                                cfg.reg0, cfg.reg_w, cfg.reg_v,
+                                column_pure=True, csc_uniform=True)
+        b = A.als_sweep_compact(b, ws, nb, cfg.num_features, n_ranks,
+                                cfg.reg0, cfg.reg_w, cfg.reg_v,
+                                column_pure=True, csc_uniform=False)
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_csc_blocks_uniform_rejects_nonuniform():
+    from sparkfm_tpu.solvers import als as A
+    from sparkfm_tpu.data.batching import SparseDataset
+    # two slots drawing from OVERLAPPING id ranges -> not uniform
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 30, (100, 2)).astype(np.int32)
+    ds = SparseDataset(ids=ids, vals=np.ones((100, 2), np.float32),
+                      y=np.zeros((100,), np.float32), num_features=30)
+    bof = (np.arange(30) >= 15).astype(np.int32)
+    assert not A.csc_blocks_uniform(ds, bof)
+
+
+def test_dispatched_sweep_matches_single_jit():
+    """als_sweep_compact_dispatched (K+1 dispatches, the >60 s-dispatch
+    workaround) == als_sweep_compact (one jit), exactly the same update
+    sequence."""
+    import jax
+    from sparkfm_tpu.solvers import als as A
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.config import ALSConfig, FMConfig
+    from sparkfm_tpu.data.batching import SparseDataset
+
+    rng = np.random.default_rng(11)
+    n, users, movies = 500, 30, 20
+    ids = np.stack([rng.integers(0, users, n),
+                    users + rng.integers(0, movies, n)], axis=1
+                   ).astype(np.int32)
+    ds = SparseDataset(ids=ids, vals=np.ones((n, 2), np.float32),
+                       y=rng.normal(size=(n,)).astype(np.float32),
+                       num_features=users + movies)
+    cfg = FMConfig(num_features=users + movies, num_factors=3,
+                   reg_w=0.1, reg_v=0.5, seed=0)
+    ws, nb = A.build_workspace(ds, cfg,
+                               ALSConfig(feature_blocks=A.slot_blocks(ds)))
+    n_ranks = int(ws.present.shape[0])
+    p0 = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+    a = A.als_sweep_compact(p0, ws, nb, cfg.num_features, n_ranks,
+                            cfg.reg0, cfg.reg_w, cfg.reg_v,
+                            column_pure=True)
+    b = A.als_sweep_compact_dispatched(
+        p0, ws, nb, cfg.num_features, n_ranks, cfg.reg0, cfg.reg_w,
+        cfg.reg_v, column_pure=True)
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(float(a.w0), float(b.w0), rtol=1e-6)
