@@ -299,6 +299,7 @@ class FM:
                  task: Task = Task.REGRESSION,
                  max_iter: int = 100,
                  solver: Union[str, Callable] = "als",
+                 timeout: float = 0.0,
                  num_features: Optional[int] = None,
                  reg0: float = 0.0, reg_w: float = 0.0, reg_v: float = 10.0,
                  init_stdev: float = 0.01, init_mean: float = 0.0,
@@ -320,6 +321,12 @@ class FM:
         self.task = Task(task)   # accept 'regression'/'classification' strings
         self.max_iter = max_iter
         self.solver = solver
+        # Wall-clock training budget in seconds; 0 = unlimited. The
+        # reference accepts the same knob and drops it (FM.scala:30,
+        # stored at impl/FactorizationMachines.scala:14, never read);
+        # here it stops training at the next epoch/sweep boundary
+        # (checkpoint-safe) — SGDConfig/ALSConfig/MCMCConfig.max_seconds.
+        self.timeout = float(timeout)
         self.num_features = num_features
         self.reg0, self.reg_w, self.reg_v = reg0, reg_w, reg_v
         self.init_stdev = init_stdev
@@ -432,7 +439,8 @@ class FM:
             sgd_cfg = SGDConfig(learning_rate=self.learning_rate,
                                 optimizer=self.optimizer,
                                 batch_size=self.batch_size,
-                                epochs=self.max_iter)
+                                epochs=self.max_iter,
+                                max_seconds=self.timeout)
             res = _deepfm.train_deepfm(dcfg, sgd_cfg, train, eval_ds,
                                        self.eval_every,
                                        jax.random.PRNGKey(self.seed),
@@ -449,7 +457,8 @@ class FM:
                                     optimizer=self.optimizer,
                                     batch_size=self.batch_size,
                                     epochs=self.max_iter,
-                                    update_path=self.update_path)
+                                    update_path=self.update_path,
+                                    max_seconds=self.timeout)
                 res = _trainer.train_sgd_relational(
                     cfg, sgd_cfg, train, eval_ds, self.eval_every, key)
                 return FMModel(params=res.params, cfg=cfg,
@@ -463,7 +472,8 @@ class FM:
                 # the BS structure (Jacobi == Gauss-Seidel; see
                 # solvers/als_bs._prep)
                 res = _als_bs.train_als_relational(
-                    cfg, ALSConfig(epochs=self.max_iter),
+                    cfg, ALSConfig(epochs=self.max_iter,
+                                   max_seconds=self.timeout),
                     train, eval_ds, self.eval_every, key)
                 return FMModel(params=res.params, cfg=cfg,
                                history=res.history,
@@ -481,7 +491,8 @@ class FM:
                                 batch_size=self.batch_size,
                                 epochs=self.max_iter,
                                 update_path=self.update_path,
-                                steps_per_dispatch=self.steps_per_dispatch)
+                                steps_per_dispatch=self.steps_per_dispatch,
+                                max_seconds=self.timeout)
             res = _trainer.train_sgd(cfg, sgd_cfg, train, eval_ds,
                                      self.eval_every, key,
                                      checkpoint_dir=checkpoint_dir,
@@ -494,7 +505,8 @@ class FM:
             # arange//block heuristic diverged (e.g. materialized
             # relational data), and faster (max_nnz blocks per sweep).
             als_cfg = ALSConfig(epochs=self.max_iter,
-                                feature_blocks=slot_blocks(train))
+                                feature_blocks=slot_blocks(train),
+                                max_seconds=self.timeout)
             if self.mesh is not None:
                 res = _als_mesh(cfg, als_cfg, train, eval_ds,
                                 self.eval_every, key, self.mesh)
@@ -507,7 +519,8 @@ class FM:
             from sparkfm_tpu.solvers.als import slot_blocks
             mcmc_cfg = MCMCConfig(epochs=self.max_iter,
                                   burn_in=max(1, self.max_iter // 10),
-                                  feature_blocks=slot_blocks(train))
+                                  feature_blocks=slot_blocks(train),
+                                  max_seconds=self.timeout)
             if self.mesh is not None:
                 res = _mcmc_mesh(cfg, mcmc_cfg, train, eval_ds, key,
                                  self.mesh)

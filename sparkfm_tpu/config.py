@@ -4,7 +4,8 @@ Replaces the reference's hardcoded hyperparameters and mutable model fields
 (reference: fm/FMModel.scala:10-31, fm/FM.scala:25-33, driver.scala:115) with a
 single dataclass-based config. Every knob the reference exposes — num factors,
 task, max iterations, regularization (reg0/regw/regv), init mean/stdev/seed —
-is honored here (the reference's `seed`, `task` and `timeout` params are dead
+is honored here — including `timeout` (SGDConfig/ALSConfig/MCMCConfig
+.max_seconds; the reference's `seed`, `task` and `timeout` params are dead
 code: FMModel.scala:14, impl/FactorizationMachines.scala:12-14).
 """
 
@@ -121,6 +122,12 @@ class FMConfig:
 @dataclasses.dataclass(frozen=True)
 class SGDConfig:
     learning_rate: float = 0.05
+    # Wall-clock training budget in seconds; 0 = unlimited. Checked at
+    # epoch boundaries: the epoch in flight completes, a final
+    # checkpoint is written (when checkpointing is on), and the loop
+    # stops. Honors the reference's `timeout` knob (FM.scala:30, stored
+    # at impl/FactorizationMachines.scala:14 but never read there).
+    max_seconds: float = 0.0
     optimizer: str = "adagrad"      # adagrad | sgd | adam
     batch_size: int = 8192
     epochs: int = 10
@@ -221,6 +228,9 @@ class ALSConfig:
 
     epochs: int = 10
     block_size: int = 4096
+    # Wall-clock budget in seconds, checked between sweeps; 0 =
+    # unlimited (the reference's dead `timeout` knob, FM.scala:30).
+    max_seconds: float = 0.0
     # Optional explicit feature->block assignment (e.g. by field); if None,
     # contiguous blocks of block_size are used.
     feature_blocks: Optional[tuple] = None
@@ -244,6 +254,9 @@ class MCMCConfig:
     burn_in: int = 5
     block_size: int = 4096
     feature_blocks: Optional[tuple] = None
+    # Wall-clock budget in seconds, checked between samples; 0 =
+    # unlimited (the reference's dead `timeout` knob, FM.scala:30).
+    max_seconds: float = 0.0
     # Gamma hyperpriors (libFM defaults: alpha_0 = beta_0 = 1, etc.)
     alpha_0: float = 1.0
     beta_0: float = 1.0

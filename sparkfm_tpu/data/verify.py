@@ -128,6 +128,7 @@ def verify(path: str, dataset: Optional[str] = None,
     bad: List[str] = []
     users = set()
     items = set()
+    aborted = False
     sample_cap = 100_000
     with open(path, "r", errors="replace") as fh:
         if ex.has_header:
@@ -153,14 +154,20 @@ def verify(path: str, dataset: Optional[str] = None,
                         users.add(f[0])
                         items.add(f[1])
                 if len(bad) > 5:
-                    break
+                    aborted = True    # partial count: skip the row-count
+                    break             # comparison below (ADVICE r4)
             elif quick:
                 n = -1
                 break
     if bad:
         report["ok"] = False
         report["errors"] = bad[:5]
-    if n >= 0:
+    if aborted:
+        # the scan stopped early on format errors; n is a lower bound,
+        # not the file's row count — comparing it to the published total
+        # would misreport the file as truncated
+        report["rows"] = f">= {n} (scan aborted after >5 format errors)"
+    elif n >= 0:
         report["rows"] = n
         if n != want_rows:
             report["ok"] = False

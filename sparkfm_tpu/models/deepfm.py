@@ -633,10 +633,14 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                         for k, v in eval_metrics(get_params(state),
                                                  eval_ds).items()})
         history.append(rec)
+        stop = bool(sgd_cfg.max_seconds
+                    and time.perf_counter() - t0 >= sgd_cfg.max_seconds)
         if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
-                                 or epoch == sgd_cfg.epochs - 1):
+                                 or epoch == sgd_cfg.epochs - 1 or stop):
             ckpt.save(epoch, state,
                       extra={"epoch": epoch, "history": history})
+        if stop:        # wall-clock budget (reference `timeout`, FM.scala:30)
+            break
     if ckpt is not None:
         ckpt.close()
     eps = n / max(time.perf_counter() - t0, 1e-9)
@@ -797,10 +801,14 @@ def _train_deepfm_sharded(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
                         for k, v in eval_metrics(state["params"],
                                                  eval_ds).items()})
         history.append(rec)
+        stop = bool(sgd_cfg.max_seconds
+                    and time.perf_counter() - t0 >= sgd_cfg.max_seconds)
         if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
-                                 or epoch == sgd_cfg.epochs - 1):
+                                 or epoch == sgd_cfg.epochs - 1 or stop):
             ckpt.save(epoch, state,
                       extra={"epoch": epoch, "history": history})
+        if stop:        # wall-clock budget (reference `timeout`, FM.scala:30)
+            break
     if ckpt is not None:
         ckpt.close()
     eps = n / max(time.perf_counter() - t0, 1e-9)

@@ -340,6 +340,10 @@ def train_mcmc(cfg: FMConfig, mcmc_cfg: MCMCConfig, train: SparseDataset,
             rec["eval_rmse_sample"] = float(
                 np.sqrt(np.mean(np.square(s - y))))
         history.append(rec)
+        if mcmc_cfg.max_seconds and (time.perf_counter() - t0
+                                     >= mcmc_cfg.max_seconds):
+            # wall-clock budget (the reference's `timeout`, FM.scala:30)
+            break
     jax.block_until_ready(state.params.v)
     eps = n_examples / max(time.perf_counter() - t0, 1e-9)
     result = _trainer.TrainResult(params=state.params, history=history,

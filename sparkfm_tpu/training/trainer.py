@@ -94,6 +94,17 @@ class TrainResult:
     examples_per_sec: float = 0.0
 
 
+def _time_budget_reached(t0: float, max_seconds: float, epoch: int) -> bool:
+    """Epoch-boundary wall-clock budget (SGDConfig.max_seconds — the
+    reference's `timeout` knob, FM.scala:30, honored here). The epoch in
+    flight always completes; callers write a final checkpoint before
+    breaking."""
+    if max_seconds and (time.perf_counter() - t0) >= max_seconds:
+        log.info("wall-clock budget max_seconds=%.3f reached after epoch "
+                 "%d; stopping early", max_seconds, epoch)
+        return True
+    return False
+
 def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
               eval_ds: Optional[SparseDataset] = None,
               eval_every: int = 1,
@@ -278,10 +289,13 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         if hooks:
             for h in hooks:
                 h(epoch, state, rec)
+        stop = _time_budget_reached(t0, sgd_cfg.max_seconds, epoch)
         if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
-                                 or epoch == sgd_cfg.epochs - 1):
+                                 or epoch == sgd_cfg.epochs - 1 or stop):
             ckpt.save(epoch, state,
                       extra={"epoch": epoch, "history": history})
+        if stop:
+            break
     if ckpt is not None:
         ckpt.close()
     elapsed = time.perf_counter() - t0 - compile_time
@@ -511,10 +525,13 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
         if hooks:
             for h in hooks:
                 h(epoch, state, rec)
+        stop = _time_budget_reached(t0, sgd_cfg.max_seconds, epoch)
         if ckpt is not None and ((epoch + 1) % checkpoint_every == 0
-                                 or epoch == sgd_cfg.epochs - 1):
+                                 or epoch == sgd_cfg.epochs - 1 or stop):
             ckpt.save(epoch, state,
                       extra={"epoch": epoch, "history": history})
+        if stop:
+            break
     if ckpt is not None:
         ckpt.close()
     elapsed = time.perf_counter() - t0 - compile_time
@@ -615,6 +632,8 @@ def train_sgd_relational(cfg: FMConfig, sgd_cfg: SGDConfig, train,
         log.info("epoch %d: %s", epoch,
                  " ".join(f"{k}={v:.5f}" for k, v in rec.items()
                           if k != "epoch"))
+        if _time_budget_reached(t0, sgd_cfg.max_seconds, epoch):
+            break
     eps = n_examples / max(time.perf_counter() - t0, 1e-9)
     return TrainResult(params=state.params, history=history,
                        examples_per_sec=eps)

@@ -298,3 +298,25 @@ def test_cli_verify_data(tmp_path, capsys):
         pass
     rep = V.verify(str(bad), dataset="ml-100k", quick=True)
     assert not rep["ok"] and rep["errors"]
+
+
+def test_timeout_knob_stops_training_early():
+    """The reference's `timeout` knob (FM.scala:30, dead there) is
+    honored: training stops at the next epoch boundary once the
+    wall-clock budget is spent, for both solvers, via the facade."""
+    import time
+    import sparkfm_tpu as sfm
+    from sparkfm_tpu.data import synth
+
+    ds = synth.synth_movielens(num_users=30, num_items=40,
+                               num_examples=2000, seed=0)
+    for solver in ("sgd", "als"):
+        fm = sfm.FM(num_factors=4, solver=solver, max_iter=500,
+                    timeout=1.0, batch_size=256, reg_v=0.1,
+                    learning_rate=0.05)
+        t0 = time.perf_counter()
+        model = fm.fit(ds)
+        took = time.perf_counter() - t0
+        epochs_run = len(model.history)
+        assert epochs_run < 500, (solver, epochs_run)
+        assert took < 60, (solver, took)

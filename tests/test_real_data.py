@@ -144,3 +144,19 @@ def test_avazu_ffm_auc_band():
     model = m.fit(col.training, eval_ds=col.test)
     aucs = [r["eval_auc"] for r in model.history if "eval_auc" in r]
     assert max(aucs) > 0.60, max(aucs)
+
+
+def test_verify_aborted_scan_reports_lower_bound(tmp_path):
+    """>5 format errors abort the scan early; the partial count must NOT
+    be compared to the published total (ADVICE r4: it misreported the
+    file as truncated). rows becomes an explicit lower bound."""
+    from sparkfm_tpu.data import verify as V
+    p = tmp_path / "u.data"
+    good = "1\t2\t3\t881250949\n"
+    lines = [good] * 3 + ["garbage-line\n"] * 8 + [good] * 5
+    p.write_text("".join(lines))
+    rep = V.verify(str(p), dataset="ml-100k")
+    assert rep["ok"] is False
+    assert any("fields" in e or "unparseable" in e for e in rep["errors"])
+    assert isinstance(rep["rows"], str) and rep["rows"].startswith(">=")
+    assert not any("row count" in e for e in rep["errors"])
