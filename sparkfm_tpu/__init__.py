@@ -12,12 +12,13 @@ from sparkfm_tpu.api import FM, FMModel
 from sparkfm_tpu.config import (ALSConfig, FMConfig, MCMCConfig, MeshConfig,
                                 SGDConfig, Solver, Task, TrainConfig)
 from sparkfm_tpu.models.fm import FMParams, init_params, predict, scores
+from sparkfm_tpu.serving import MicroBatcher
 
 __all__ = [
     "FM", "FMModel",
     "ALSConfig", "FMConfig", "MCMCConfig", "MeshConfig", "SGDConfig",
     "Solver", "Task", "TrainConfig", "FMParams", "init_params", "predict",
-    "scores",
+    "scores", "MicroBatcher",
 ]
 
 __version__ = "0.1.0"
