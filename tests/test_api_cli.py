@@ -311,12 +311,12 @@ def test_timeout_knob_stops_training_early():
     ds = synth.synth_movielens(num_users=30, num_items=40,
                                num_examples=2000, seed=0)
     for solver in ("sgd", "als"):
+        # a sub-microsecond budget is ALWAYS exceeded when the first
+        # epoch ends -> exactly one epoch runs (deterministic: a wall-
+        # clock bound like 1.0 s raced warm-cache runs that finished
+        # all 500 epochs inside the budget)
         fm = sfm.FM(num_factors=4, solver=solver, max_iter=500,
-                    timeout=1.0, batch_size=256, reg_v=0.1,
+                    timeout=1e-6, batch_size=256, reg_v=0.1,
                     learning_rate=0.05)
-        t0 = time.perf_counter()
         model = fm.fit(ds)
-        took = time.perf_counter() - t0
-        epochs_run = len(model.history)
-        assert epochs_run < 500, (solver, epochs_run)
-        assert took < 60, (solver, took)
+        assert len(model.history) == 1, (solver, len(model.history))
