@@ -112,7 +112,8 @@ def params_from_fused(state: FusedState, cfg: FMConfig) -> FMParams:
                     v=state.table[:f, :vk])
 
 
-def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
+def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig,
+                          _jit: bool = True):
     """(FusedState, SparseBatch) -> (FusedState, aux).
 
     Optimizers: "adagrad" (element-wise accumulators), "adagrad_row"
@@ -273,4 +274,36 @@ def make_fused_train_step(cfg: FMConfig, sgd_cfg: SGDConfig):
                            "unique_count": plan.count,
                            "unique_overflow": plan.overflow}
 
+    if not _jit:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_fused_multi_step(cfg: FMConfig, sgd_cfg: SGDConfig):
+    """G fused steps per dispatch via lax.scan over stacked batches —
+    the fused-path twin of sgd_hybrid.make_hybrid_multi_step. Update
+    math is EXACTLY the single-step sequence (scan is sequential);
+    batches must share plan shapes (ladder rung); stack with
+    sgd_hybrid.stack_batches. aux carries the last step's loss, the
+    group mean, and overflow OR-ed over the group.
+
+    Measured (v5e, round 5): G=1/2/4 are IDENTICAL at the FFM config-4
+    shape (16.0 ms/step) and an FM L=39 shape (11.5 ms) — unlike the
+    hybrid headline where G=2 bought ~5% — so the single step remains
+    the default everywhere; this exists for API symmetry with the
+    hybrid path and for dispatch-starved environments (e.g. many tiny
+    batches per rung)."""
+    raw = make_fused_train_step(cfg, sgd_cfg, _jit=False)
+
+    def multi(state: FusedState, stacked: SparseBatch):
+        def body(s, b):
+            s2, aux = raw(s, b)
+            return s2, {"loss": aux["loss"],
+                        "unique_overflow": aux["unique_overflow"]}
+        state, auxs = jax.lax.scan(body, state, stacked)
+        return state, {
+            "loss": auxs["loss"][-1],
+            "loss_mean": jnp.mean(auxs["loss"]),
+            "unique_overflow": jnp.any(auxs["unique_overflow"])}
+
+    return jax.jit(multi, donate_argnums=(0,))

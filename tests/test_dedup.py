@@ -667,3 +667,53 @@ def test_eval_scoring_exact_on_plan_overflow(monkeypatch):
     ev = trainer.evaluate(params, cfg, ds, batch_size=32)
     want_rmse = float(np.sqrt(np.mean((exact - ds.y) ** 2)))
     assert abs(ev["rmse"] - want_rmse) < 1e-5
+
+
+def test_fused_multi_step_matches_single_steps():
+    """make_fused_multi_step(scan of G) == G single fused steps, FM and
+    FFM shapes."""
+    import jax
+    import jax.numpy as jnp
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.solvers import sgd_fused, sgd_hybrid
+
+    rng = np.random.default_rng(6)
+    for nf in (0, 3):
+        L = 3 if nf else 4
+        cfg = FMConfig(num_features=128, num_factors=4, num_fields=nf,
+                       reg_v=0.01, seed=0,
+                       slot_major_fields=bool(nf))
+        sgd_cfg = SGDConfig(batch_size=16, learning_rate=0.1,
+                            optimizer="adagrad")
+        batches = []
+        per = 128 // L
+        for _ in range(4):
+            ids = (rng.integers(0, per, (16, L)).astype(np.int32)
+                   + per * np.arange(L, dtype=np.int32)[None, :])
+            hp = E.host_dedup(ids, 64, fill=128)
+            plan = E.DedupBatch(*[None if x is None else jnp.asarray(x)
+                                  for x in hp])
+            batches.append(SparseBatch(
+                ids=jnp.asarray(ids),
+                vals=jnp.asarray(rng.normal(size=(16, L)).astype(
+                    np.float32)),
+                y=jnp.asarray(rng.normal(size=(16,)).astype(np.float32)),
+                mask=jnp.ones((16,), bool),
+                field_ids=(jnp.asarray(np.broadcast_to(
+                    np.arange(L, dtype=np.int32), (16, L)))
+                    if nf else None),
+                plan=plan))
+        s1 = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(1))
+        step = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
+        for b in batches:
+            s1, a1 = step(s1, b)
+        s2 = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(1))
+        multi = sgd_fused.make_fused_multi_step(cfg, sgd_cfg)
+        stacked = sgd_hybrid.stack_batches(batches)
+        s2, a2 = multi(s2, stacked)
+        np.testing.assert_allclose(float(a1["loss"]), float(a2["loss"]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.table[:128]),
+                                   np.asarray(s2.table[:128]),
+                                   rtol=1e-5, atol=1e-7)
