@@ -132,7 +132,8 @@ def cmd_train(args) -> int:
 
     task = Task(args.task)
     fm = FM(num_factors=args.factors, task=task, max_iter=args.iters,
-            solver=args.solver, reg0=args.reg0, reg_w=args.reg_w,
+            solver=args.solver, timeout=getattr(args, "timeout", 0.0),
+            reg0=args.reg0, reg_w=args.reg_w,
             reg_v=args.reg_v, init_stdev=args.init_stdev, seed=args.seed,
             learning_rate=args.lr, batch_size=args.batch_size,
             optimizer=args.optimizer, num_fields=args.fields,
@@ -363,6 +364,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sharded sparse gradient exchange (with --mesh)")
     t.add_argument("--optimizer", default="adagrad",
                    choices=["adagrad", "sgd", "adam"])
+    t.add_argument("--timeout", type=float, default=0.0,
+                   help="wall-clock training budget in seconds (0 = "
+                        "unlimited); stops at the next epoch/sweep "
+                        "boundary, checkpoint-safe — the reference's "
+                        "FM.apply timeout knob (FM.scala:30), honored")
     t.add_argument("--eval-every", type=int, default=1)
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--checkpoint-dir")

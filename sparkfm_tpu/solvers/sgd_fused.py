@@ -73,14 +73,45 @@ def init_fused_state(cfg: FMConfig,
     f = cfg.num_features
     w = record_width(cfg.num_factors, cfg.num_fields)
 
-    @jax.jit
-    def build(key):
-        table = jnp.zeros((f + 1, w), jnp.float32)
-        v = cfg.init_mean + cfg.init_stdev * jax.random.normal(
-            key, (f, vk), dtype=jnp.float32)
-        return table.at[:f, :vk].set(v)
+    if f * vk * 4 <= (1 << 30):
+        @jax.jit
+        def build(key):
+            v = cfg.init_mean + cfg.init_stdev * jax.random.normal(
+                key, (f, vk), dtype=jnp.float32)
+            # pad v straight into the (F+1, W) record: zeros-table +
+            # .at[].set kept both full-size buffers live (2 x 8.6 GB at
+            # the 2^24 Criteo shape); pad is one op, peak = v + output
+            return jnp.pad(v, ((0, 1), (0, w - vk)))
 
-    return FusedState(table=build(key), w0=jnp.zeros((), jnp.float32),
+        table = build(key)
+    else:
+        # Huge tables (> 1 GiB of draw): even the pad form peaks at
+        # table + v + the PRNG bit buffer (~12.8 GB at 2^24 x 32 —
+        # measured OOM on a ~15 GiB chip). Initialize per row-chunk
+        # into the donated table instead: peak = table + one chunk.
+        # Deterministic under the key (fold_in by row offset) but NOT
+        # bitwise equal to the small-table single draw — both are
+        # "N(mean, stdev) keyed by cfg.seed", which is the documented
+        # contract (the reference draws unseeded: FMModel.scala:19-22).
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(0,))
+        def set_chunk(t, k, off, n):
+            v = cfg.init_mean + cfg.init_stdev * jax.random.normal(
+                k, (n, vk), dtype=jnp.float32)
+            return jax.lax.dynamic_update_slice(
+                t, jnp.pad(v, ((0, 0), (0, w - vk))), (off, 0))
+
+        table = jnp.zeros((f + 1, w), jnp.float32)
+        ch = max(8, (1 << 28) // (vk * 4))
+        off = 0
+        while off < f:
+            n = min(ch, f - off)
+            table = set_chunk(table, jax.random.fold_in(key, off),
+                              jnp.int32(off), n)
+            off += n
+
+    return FusedState(table=table, w0=jnp.zeros((), jnp.float32),
                       slot_w0=jnp.zeros((), jnp.float32),
                       step=jnp.zeros((), jnp.int32))
 
@@ -94,8 +125,9 @@ def fused_from_params(params: FMParams, cfg: FMConfig) -> FusedState:
     # call (two 6.4 GB copies at the full Avazu shape).
     @jax.jit
     def build(v, wvec):
-        table = jnp.zeros((f + 1, w), jnp.float32)
-        table = table.at[:f, :vk].set(v.astype(jnp.float32))
+        # pad + one column set (see init_fused_state: zeros + two sets
+        # kept two full-size record buffers live and OOM'd 2^24 tables)
+        table = jnp.pad(v.astype(jnp.float32), ((0, 1), (0, w - vk)))
         return table.at[:f, 2 * vk].set(wvec.astype(jnp.float32))
 
     return FusedState(table=build(params.v, params.w),
