@@ -173,3 +173,24 @@ def test_resolve_update_path_ffm_fused():
         cfg, SGDConfig(optimizer="adagrad")) == "fused"
     assert sgd_solver.resolve_update_path(
         cfg, SGDConfig(optimizer="adam")) == "dedup"
+
+
+def test_facade_autodetects_slot_major_fields():
+    """FM.fit routes fixed-column CTR data to the slot-major interaction
+    automatically; ragged field layouts stay on the aggregated form."""
+    from sparkfm_tpu.api import FM, _detect_slot_major
+    from sparkfm_tpu.data import synth
+    ds = synth.synth_ctr(num_examples=512, num_fields=4, num_buckets=64,
+                         seed=0)
+    assert _detect_slot_major(ds, 4)
+    assert not _detect_slot_major(ds, 3)          # wrong field count
+    fm = FM(num_factors=2, solver="sgd", max_iter=1, num_fields=4,
+            task="classification", batch_size=128)
+    cfg = fm._cfg(ds)
+    assert cfg.slot_major_fields
+    # ragged: shuffle one row's fields
+    import dataclasses as dc
+    fids = np.array(ds.field_ids)
+    fids[0] = fids[0][::-1]
+    ragged = dc.replace(ds, field_ids=fids)
+    assert not _detect_slot_major(ragged, 4)
