@@ -194,3 +194,41 @@ def test_facade_autodetects_slot_major_fields():
     fids[0] = fids[0][::-1]
     ragged = dc.replace(ds, field_ids=fids)
     assert not _detect_slot_major(ragged, 4)
+
+
+def test_ffm_bf16_compute_trains_close_to_f32():
+    """compute_dtype='bfloat16' on the fused FFM path: trains, and the
+    first-step loss sits within bf16 tolerance of f32 (the measured
+    ~7% step-time option documented in docs/PERF.md)."""
+    import jax
+    from sparkfm_tpu.config import FMConfig, SGDConfig, Task
+    from sparkfm_tpu.data.batching import SparseBatch
+    from sparkfm_tpu.ops import embedding as E
+    from sparkfm_tpu.solvers import sgd_fused
+
+    rng = np.random.default_rng(8)
+    Fq, K, R, B = 4, 2, 64, 16
+    per = R // Fq
+    ids = (rng.integers(0, per, (B, Fq)).astype(np.int32)
+           + per * np.arange(Fq, dtype=np.int32)[None, :])
+    hp = E.host_dedup(ids, 64, fill=R)
+    plan = E.DedupBatch(*[None if x is None else jnp.asarray(x)
+                          for x in hp])
+    batch = SparseBatch(
+        ids=jnp.asarray(ids), vals=jnp.ones((B, Fq), jnp.float32),
+        y=jnp.asarray(rng.integers(0, 2, (B,)).astype(np.float32)),
+        mask=jnp.ones((B,), bool),
+        field_ids=jnp.asarray(np.broadcast_to(
+            np.arange(Fq, dtype=np.int32), (B, Fq))), plan=plan)
+    losses = {}
+    for cdt in ("float32", "bfloat16"):
+        cfg = FMConfig(num_features=R, num_factors=K, num_fields=Fq,
+                       task=Task.CLASSIFICATION, reg_v=0.01, seed=0,
+                       slot_major_fields=True, compute_dtype=cdt)
+        st = sgd_fused.init_fused_state(cfg, jax.random.PRNGKey(0))
+        step = sgd_fused.make_fused_train_step(
+            cfg, SGDConfig(batch_size=B, learning_rate=0.1))
+        st, aux = step(st, batch)
+        losses[cdt] = float(aux["loss"])
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=2e-2)

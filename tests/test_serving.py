@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from sparkfm_tpu.config import FMConfig, Task
 from sparkfm_tpu.models import fm as fm_model
@@ -58,3 +59,29 @@ def test_microbatcher_big_table_plans_and_chunking():
     for (ids, vals), got in zip(reqs, out):
         ref = np.asarray(fm_model.scores(params, cfg, ids, vals))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_microbatcher_deepfm():
+    from sparkfm_tpu.config import FMConfig, Task
+    from sparkfm_tpu.models import deepfm as DF
+    rng = np.random.default_rng(3)
+    dcfg = DF.DeepFMConfig(
+        fm=FMConfig(num_features=256, num_factors=4, num_fields=5,
+                    task=Task.CLASSIFICATION, seed=0),
+        hidden=(8,))
+    params = DF.init_params(dcfg, jax.random.PRNGKey(0))
+    mb = MicroBatcher(params, dcfg, max_batch=32, model="deepfm")
+    reqs = []
+    per = 256 // 5
+    for _ in range(4):
+        n = int(rng.integers(1, 6))
+        ids = (rng.integers(0, per, (n, 5)).astype(np.int32)
+               + per * np.arange(5, dtype=np.int32)[None, :])
+        vals = np.ones((n, 5), np.float32)
+        reqs.append((ids, vals))
+        mb.submit(ids, vals)
+    out = mb.flush()
+    for (ids, vals), got in zip(reqs, out):
+        ref = np.asarray(DF.scores(params, dcfg, jnp.asarray(ids),
+                                   jnp.asarray(vals)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
