@@ -117,8 +117,13 @@ class MicroBatcher:
             return []
         ids = np.concatenate(self._ids, axis=0)
         vals = np.concatenate(self._vals, axis=0)
-        fids = (np.concatenate([f for f in self._fids], axis=0)
-                if all(f is not None for f in self._fids) else None)
+        have_f = [f is not None for f in self._fids]
+        if any(have_f) and not all(have_f):
+            raise ValueError(
+                "mixed submits: some requests carried field_ids and some "
+                "did not — a flush must be all-FFM or all-plain")
+        fids = (np.concatenate(self._fids, axis=0)
+                if all(have_f) and self._fids else None)
         sizes = list(self._sizes)
         self._ids, self._vals, self._fids, self._sizes = [], [], [], []
 

@@ -85,3 +85,16 @@ def test_microbatcher_deepfm():
         ref = np.asarray(DF.scores(params, dcfg, jnp.asarray(ids),
                                    jnp.asarray(vals)))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_microbatcher_rejects_mixed_field_submissions():
+    import pytest
+    cfg = FMConfig(num_features=64, num_factors=2, num_fields=3, seed=0)
+    params = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+    mb = MicroBatcher(params, cfg, max_batch=16)
+    ids = np.zeros((1, 3), np.int32)
+    vals = np.ones((1, 3), np.float32)
+    mb.submit(ids, vals, field_ids=np.arange(3, dtype=np.int32)[None])
+    mb.submit(ids, vals)                      # no field_ids
+    with pytest.raises(ValueError, match="mixed"):
+        mb.flush()
