@@ -45,6 +45,20 @@ Three exchange strategies (``make_sharded_train_step(..., exchange=...)``):
     (their slot updates don't decompose into cross-shard adds) and as the
     oracle in parity tests.
 
+Feature-popularity SKEW (SURVEY §7's "hard part": power-law CTR ids
+concentrating traffic on a few model shards; classic DLRM systems add
+hot-row replication for it) is neutralized by design rather than by a
+replication mechanism: a hot id appears ONCE in a dedup plan no matter
+how many slots reference it, so the unique exchange's comm and the
+owner shard's write amplification scale with the UNIQUE set, and the
+global exchange goes further — its psum comm (~2*U_g*W, ring) is
+identical on every shard regardless of which shard owns the hot rows,
+and the per-unique sums each shard contributes are add-combined, which
+IS the replicated-accumulator pattern hot-row replication builds by
+hand. The residual imbalance (hot rows' owner does their optimizer
+update) is one (U, W) row per hot id per step — bounded by U, not by
+popularity.
+
 The loss is globally exact in both: per-shard weighted sums are
 `psum`-combined and normalized by the global valid-example count.
 Everything is one `shard_map`-wrapped jitted step; XLA lowers
