@@ -144,7 +144,7 @@ def child_main():
                     * 2654435761) % buckets).astype(np.int32)
             hp = None
             if use_plan:
-                hp = E.host_dedup(ids, cap, fill=0)
+                hp = E.host_dedup(ids, cap, fill=buckets - 1)
                 rung[0] = max(rung[0], E.ladder_budget(int(hp.count),
                                                        cap=cap))
             hbs.append((ids, hp))

@@ -111,9 +111,10 @@ def bench_als(hb):
     uniform = cpure and A.csc_blocks_uniform(ds,
                                              np.asarray(ws.block_of_feat))
     # the runtime kills single dispatches over ~60 s ("TPU worker
-    # crashed", measured): past ~6M examples run the sweep as K+1
-    # dispatches — identical update sequence (tests/test_als.py)
-    dispatched = n > 6_000_000
+    # crashed", measured): above an estimated ~25 s of sweep (nnz*K,
+    # calibrated 100 s at 50M*32) run it as K+1 dispatches — identical
+    # update sequence (tests/test_als.py)
+    dispatched = ds.ids.size * cfg.num_factors > (4 * 10**8)
     hb(f"als: column_pure={cpure} csc_uniform={uniform} "
        f"dispatched={dispatched}")
     if dispatched:

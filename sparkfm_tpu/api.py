@@ -52,7 +52,11 @@ class FMModel:
         # models/fm.scores).
         dedup_budget = dedup_fill = None
         if self.cfg.num_fields == 0 and self.cfg.num_features >= (1 << 16):
-            dedup_budget, dedup_fill = "ladder", 0
+            # fill with the LAST row id: fill entries trail the sorted
+            # uniques, so fill must compare >= every uid or the
+            # indices_are_sorted gather promise in fm.scores is violated
+            # (fill=0 put zeros after larger ids — UB on TPU)
+            dedup_budget, dedup_fill = "ladder", self.cfg.num_features - 1
         outs = []
         for b in batch_iterator(ds, batch_size, shuffle=False,
                                 dedup_budget=dedup_budget,

@@ -176,6 +176,46 @@ def _dense_tower_update(opt: str, lr: float, sgd_cfg: SGDConfig,
     return x - lr * g, s
 
 
+def _deepfm_loss(cfg: DeepFMConfig, batch: SparseBatch,
+                 w0, w_rows, v_rows, mlp_w, mlp_b):
+    """Shared loss for all three table-access steps (direct/dedup/fused):
+    both heads from gathered rows + per-appearance L2 on the touched
+    rows. ONE definition so the paths cannot drift (they are parity-
+    tested against each other, but tested-equal is weaker than
+    provably-identical)."""
+    fm_cfg = cfg.fm
+    pp = DeepFMParams(fm=FMParams(w0=w0, w=None, v=None),
+                      mlp_w=mlp_w, mlp_b=mlp_b)
+    s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
+    loss_fn = L.loss_for_task(fm_cfg.task)
+    wts = None if batch.mask is None else batch.mask.astype(jnp.float32)
+    data_loss = loss_fn(s, batch.y, wts)
+    active = (batch.vals != 0).astype(jnp.float32)
+    if batch.mask is not None:
+        active = active * batch.mask[:, None]
+    denom = jnp.maximum(
+        jnp.sum(batch.mask.astype(jnp.float32))
+        if batch.mask is not None else float(batch.vals.shape[0]), 1.0)
+    reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
+           + fm_cfg.reg_v * jnp.sum(
+               jnp.square(v_rows) * active[..., None])) / denom
+    return data_loss + reg, data_loss
+
+
+def _tower_updates(opt: str, lr: float, sgd_cfg: SGDConfig,
+                   mlp_w, mlp_b, smw, smb, g_mw, g_mb):
+    """Dense optimizer step over all tower layers; returns
+    (new_mw, new_smw, new_mb, new_smb) tuples."""
+    new_mw, new_smw, new_mb, new_smb = [], [], [], []
+    for x, sl, g in zip(mlp_w, smw, g_mw):
+        x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, sl, g)
+        new_mw.append(x2); new_smw.append(s2)
+    for x, sl, g in zip(mlp_b, smb, g_mb):
+        x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, sl, g)
+        new_mb.append(x2); new_smb.append(s2)
+    return (tuple(new_mw), tuple(new_smw), tuple(new_mb), tuple(new_smb))
+
+
 def _make_direct_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
     from sparkfm_tpu.solvers import sgd as sgd_solver
 
@@ -192,23 +232,8 @@ def _make_direct_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
         v_rows = p.fm.v[ids]
 
         def loss_of(w0, w_rows, v_rows, mlp_w, mlp_b):
-            pp = DeepFMParams(fm=FMParams(w0=w0, w=p.fm.w, v=p.fm.v),
-                              mlp_w=mlp_w, mlp_b=mlp_b)
-            s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
-            loss_fn = L.loss_for_task(fm_cfg.task)
-            wts = None if batch.mask is None else batch.mask.astype(
-                jnp.float32)
-            data_loss = loss_fn(s, batch.y, wts)
-            active = (batch.vals != 0).astype(jnp.float32)
-            if batch.mask is not None:
-                active = active * batch.mask[:, None]
-            denom = jnp.maximum(jnp.sum(batch.mask.astype(jnp.float32))
-                                if batch.mask is not None else float(bsz),
-                                1.0)
-            reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
-                   + fm_cfg.reg_v * jnp.sum(
-                       jnp.square(v_rows) * active[..., None])) / denom
-            return data_loss + reg, data_loss
+            return _deepfm_loss(cfg, batch, w0, w_rows, v_rows,
+                                mlp_w, mlp_b)
 
         grads, data_loss = jax.grad(
             loss_of, argnums=(0, 1, 2, 3, 4), has_aux=True)(
@@ -225,13 +250,9 @@ def _make_direct_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
         w0, sw0, _ = sgd_solver._dense_scalar_update(
             opt, lr, sgd_cfg, p.fm.w0, slots["w0"], None, g_w0, None)
 
-        new_mw, new_smw, new_mb, new_smb = [], [], [], []
-        for x, s, g in zip(p.mlp_w, slots["mw"], g_mw):
-            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
-            new_mw.append(x2); new_smw.append(s2)
-        for x, s, g in zip(p.mlp_b, slots["mb"], g_mb):
-            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
-            new_mb.append(x2); new_smb.append(s2)
+        new_mw, new_smw, new_mb, new_smb = _tower_updates(
+            opt, lr, sgd_cfg, p.mlp_w, p.mlp_b, slots["mw"], slots["mb"],
+            g_mw, g_mb)
 
         new_state = {
             "params": DeepFMParams(fm=FMParams(w0=w0, w=w, v=v),
@@ -277,24 +298,8 @@ def _make_dedup_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
         w_rows = vw_rows[..., k]
 
         def loss_of(w0, w_rows, v_rows, mlp_w, mlp_b):
-            pp = DeepFMParams(fm=FMParams(w0=w0, w=p.fm.w, v=p.fm.v),
-                              mlp_w=mlp_w, mlp_b=mlp_b)
-            s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
-            loss_fn = L.loss_for_task(fm_cfg.task)
-            wts = None if batch.mask is None else batch.mask.astype(
-                jnp.float32)
-            data_loss = loss_fn(s, batch.y, wts)
-            active = (batch.vals != 0).astype(jnp.float32)
-            if batch.mask is not None:
-                active = active * batch.mask[:, None]
-            denom = jnp.maximum(
-                jnp.sum(batch.mask.astype(jnp.float32))
-                if batch.mask is not None
-                else float(batch.vals.shape[0]), 1.0)
-            reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
-                   + fm_cfg.reg_v * jnp.sum(
-                       jnp.square(v_rows) * active[..., None])) / denom
-            return data_loss + reg, data_loss
+            return _deepfm_loss(cfg, batch, w0, w_rows, v_rows,
+                                mlp_w, mlp_b)
 
         grads, data_loss = jax.grad(
             loss_of, argnums=(0, 1, 2, 3, 4), has_aux=True)(
@@ -338,13 +343,9 @@ def _make_dedup_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
         w0, sw0, _ = sgd_solver._dense_scalar_update(
             opt, lr, sgd_cfg, p.fm.w0, slots["w0"], None, g_w0, None)
 
-        new_mw, new_smw, new_mb, new_smb = [], [], [], []
-        for x, s, g in zip(p.mlp_w, slots["mw"], g_mw):
-            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
-            new_mw.append(x2); new_smw.append(s2)
-        for x, s, g in zip(p.mlp_b, slots["mb"], g_mb):
-            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
-            new_mb.append(x2); new_smb.append(s2)
+        new_mw, new_smw, new_mb, new_smb = _tower_updates(
+            opt, lr, sgd_cfg, p.mlp_w, p.mlp_b, slots["mw"], slots["mb"],
+            g_mw, g_mb)
 
         new_state = {
             "params": DeepFMParams(fm=FMParams(w0=w0, w=w, v=v),
@@ -428,24 +429,8 @@ def _make_fused_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
         w_rows = vw_rows[..., k]
 
         def loss_of(w0, w_rows, v_rows, mlp_w, mlp_b):
-            pp = DeepFMParams(fm=FMParams(w0=w0, w=None, v=None),
-                              mlp_w=mlp_w, mlp_b=mlp_b)
-            s = scores_from_rows(pp, cfg, w_rows, v_rows, batch.vals)
-            loss_fn = L.loss_for_task(fm_cfg.task)
-            wts = None if batch.mask is None else batch.mask.astype(
-                jnp.float32)
-            data_loss = loss_fn(s, batch.y, wts)
-            active = (batch.vals != 0).astype(jnp.float32)
-            if batch.mask is not None:
-                active = active * batch.mask[:, None]
-            denom = jnp.maximum(
-                jnp.sum(batch.mask.astype(jnp.float32))
-                if batch.mask is not None
-                else float(batch.vals.shape[0]), 1.0)
-            reg = (fm_cfg.reg_w * jnp.sum(jnp.square(w_rows) * active)
-                   + fm_cfg.reg_v * jnp.sum(
-                       jnp.square(v_rows) * active[..., None])) / denom
-            return data_loss + reg, data_loss
+            return _deepfm_loss(cfg, batch, w0, w_rows, v_rows,
+                                mlp_w, mlp_b)
 
         grads, data_loss = jax.grad(
             loss_of, argnums=(0, 1, 2, 3, 4), has_aux=True)(
@@ -486,13 +471,9 @@ def _make_fused_train_step(cfg: DeepFMConfig, sgd_cfg: SGDConfig):
             opt, lr, sgd_cfg, state["w0"], state["slot_w0"], None,
             g_w0, None)
 
-        new_mw, new_smw, new_mb, new_smb = [], [], [], []
-        for x, s, g in zip(state["mlp_w"], state["smw"], g_mw):
-            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
-            new_mw.append(x2); new_smw.append(s2)
-        for x, s, g in zip(state["mlp_b"], state["smb"], g_mb):
-            x2, s2 = _dense_tower_update(opt, lr, sgd_cfg, x, s, g)
-            new_mb.append(x2); new_smb.append(s2)
+        new_mw, new_smw, new_mb, new_smb = _tower_updates(
+            opt, lr, sgd_cfg, state["mlp_w"], state["mlp_b"],
+            state["smw"], state["smb"], g_mw, g_mb)
 
         new_state = {"table": new_table, "w0": w0, "slot_w0": sw0,
                      "mlp_w": tuple(new_mw), "mlp_b": tuple(new_mb),
@@ -609,7 +590,17 @@ def train_deepfm(cfg: DeepFMConfig, sgd_cfg: SGDConfig, train,
         from sparkfm_tpu.utils.checkpoint import Checkpointer
         ckpt = Checkpointer(checkpoint_dir)
         if resume and ckpt.latest_step() is not None:
-            state, extra = ckpt.restore(template=state)
+            try:
+                state, extra = ckpt.restore(template=state)
+            except Exception as e:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} does not match the "
+                    f"resolved update path {path!r} state layout — it was "
+                    "probably written under a different update_path (the "
+                    "'auto' policy can change across versions: round 5 "
+                    "routes big-table DeepFM to 'fused'). Pin SGDConfig."
+                    "update_path to the original path to resume, or start "
+                    "fresh with resume=False.") from e
             start_epoch = int(extra.get("epoch", -1)) + 1
             history = list(extra.get("history", []))
     n = 0

@@ -88,21 +88,23 @@ def scores(params: FMParams, cfg: FMConfig,
     """
     cdt = jnp.dtype(cfg.compute_dtype)
     if cfg.num_fields > 0:
-        if field_ids is None:
-            raise ValueError("FFM model requires field_ids")
+        if field_ids is None and not cfg.slot_major_fields:
+            raise ValueError(
+                "FFM model requires field_ids (or a slot_major_fields "
+                "config, where slot l IS field l and they may be omitted)")
         w_rows = params.w[ids]
         v_rows = params.v[ids]      # (B, L, num_fields*K) flat
         return I.ffm_scores_from_gathered(
             params.w0, w_rows, v_rows, vals, field_ids, cfg.num_fields,
             use_bias=cfg.use_bias, use_linear=cfg.use_linear,
-            compute_dtype=cdt)
+            compute_dtype=cdt, slot_major=cfg.slot_major_fields)
     n_slots = ids.shape[0] * ids.shape[1]
     use_dedup = plan is not None
     if plan is None and cfg.num_features >= (1 << 16):
         from sparkfm_tpu.ops import embedding as E
         budget = E.auto_budget(n_slots)
         if budget >= n_slots:   # no-overflow guarantee, exact scores
-            plan = E.dedup_ids(ids, budget, fill=0)
+            plan = E.dedup_ids(ids, budget, fill=cfg.num_features - 1)
             use_dedup = True
     if use_dedup:
         v_u = params.v.at[plan.uids].get(

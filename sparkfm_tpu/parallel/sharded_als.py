@@ -151,6 +151,10 @@ def train_als_sharded(cfg: FMConfig, als_cfg: ALSConfig,
             rec.update({f"eval_{k}": v for k, v in _trainer.evaluate(
                 params, cfg, eval_ds).items()})
         history.append(rec)
+        if als_cfg.max_seconds and (time.perf_counter() - t0
+                                    >= als_cfg.max_seconds):
+            # wall-clock budget (the reference's `timeout`, FM.scala:30)
+            break
     jax.block_until_ready(params.v)
     eps = n_examples / max(time.perf_counter() - t0, 1e-9)
     return _trainer.TrainResult(params=params, history=history,
@@ -255,6 +259,10 @@ def train_mcmc_sharded(cfg: FMConfig, mcmc_cfg, train: SparseDataset,
             rec["eval_rmse_sample"] = float(
                 np.sqrt(np.mean(np.square(s - y))))
         history.append(rec)
+        if mcmc_cfg.max_seconds and (time.perf_counter() - t0
+                                     >= mcmc_cfg.max_seconds):
+            # wall-clock budget (the reference's `timeout`, FM.scala:30)
+            break
     jax.block_until_ready(state.params.v)
     eps = n_examples / max(time.perf_counter() - t0, 1e-9)
     result = _trainer.TrainResult(params=state.params, history=history,

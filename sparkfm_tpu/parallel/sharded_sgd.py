@@ -164,7 +164,8 @@ def _loss_sums_from_rows(w0, w_rows, v_rows, batch: SparseBatch,
         s = I.ffm_scores_from_gathered(
             w0, w_rows, v_rows, batch.vals, batch.field_ids, cfg.num_fields,
             use_bias=cfg.use_bias, use_linear=cfg.use_linear,
-            compute_dtype=jnp.dtype(cfg.compute_dtype))
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            slot_major=cfg.slot_major_fields)
     else:
         s = I.fm_scores_from_gathered(
             w0, w_rows, v_rows, batch.vals,
@@ -725,7 +726,8 @@ def make_sharded_score_fn(cfg: FMConfig, mesh: Mesh):
             return I.ffm_scores_from_gathered(
                 params.w0, w_rows, v_rows, vals, field_ids, cfg.num_fields,
                 use_bias=cfg.use_bias, use_linear=cfg.use_linear,
-                compute_dtype=jnp.dtype(cfg.compute_dtype))
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+                slot_major=cfg.slot_major_fields)
         return I.fm_scores_from_gathered(
             params.w0, w_rows, v_rows, vals,
             use_bias=cfg.use_bias, use_linear=cfg.use_linear,

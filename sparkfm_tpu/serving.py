@@ -39,7 +39,9 @@ def _pad_batch_size(n: int, max_batch: int) -> int:
 
 
 class MicroBatcher:
-    """Coalesce scoring requests into one padded ``scores`` call.
+    """Coalesce scoring requests into one padded ``predict`` call
+    (task-space outputs: raw score for regression, P(y=1) for
+    classification — same contract as FMModel.predict).
 
     Args:
       params: FMParams (or DeepFMParams with ``model="deepfm"``).
@@ -65,17 +67,21 @@ class MicroBatcher:
         self.cfg = cfg
         self.max_batch = int(max_batch)
         self.model = model
+        # Output space matches FMModel.predict / DeepFMModel.predict:
+        # raw score for regression, P(y=1) for classification — a
+        # server wants task-space outputs, and a raw/probability
+        # mismatch between the batched and unbatched APIs is a trap.
         if model == "fm":
             base = cfg
             from sparkfm_tpu.models import fm as _fm
             self._score = jax.jit(
-                lambda p, ids, vals, fids, plan: _fm.scores(
+                lambda p, ids, vals, fids, plan: _fm.predict(
                     p, cfg, ids, vals, fids, plan=plan))
         elif model == "deepfm":
             base = cfg.fm
             from sparkfm_tpu.models import deepfm as _d
             self._score = jax.jit(
-                lambda p, ids, vals, fids, plan: _d.scores(
+                lambda p, ids, vals, fids, plan: _d.predict(
                     p, cfg, ids, vals))
         else:
             raise ValueError(f"unknown model {model!r}")
@@ -98,6 +104,15 @@ class MicroBatcher:
             raise ValueError(f"ids {ids.shape} != vals {vals.shape}")
         if field_ids is not None:
             field_ids = np.atleast_2d(np.asarray(field_ids, np.int32))
+        # reject mixing at submit time: a mixed queue could only fail at
+        # flush, wedging the batcher (every retry re-raises over the
+        # same queue)
+        if self._fids and (field_ids is None) != (self._fids[-1] is None):
+            raise ValueError(
+                "mixed submit: this request "
+                + ("omits" if field_ids is None else "carries")
+                + " field_ids while queued requests do the opposite — a "
+                "queue must be all-FFM or all-plain")
         self._ids.append(ids)
         self._vals.append(vals)
         self._fids.append(field_ids)
@@ -117,13 +132,8 @@ class MicroBatcher:
             return []
         ids = np.concatenate(self._ids, axis=0)
         vals = np.concatenate(self._vals, axis=0)
-        have_f = [f is not None for f in self._fids]
-        if any(have_f) and not all(have_f):
-            raise ValueError(
-                "mixed submits: some requests carried field_ids and some "
-                "did not — a flush must be all-FFM or all-plain")
         fids = (np.concatenate(self._fids, axis=0)
-                if all(have_f) and self._fids else None)
+                if self._fids and self._fids[0] is not None else None)
         sizes = list(self._sizes)
         self._ids, self._vals, self._fids, self._sizes = [], [], [], []
 
@@ -143,7 +153,11 @@ class MicroBatcher:
             if self.use_plans:
                 from sparkfm_tpu.ops import embedding as E
                 cap = E.auto_budget(chunk.size)
-                hp = E.host_dedup(chunk, cap, fill=0)
+                # fill with the LAST row id (not 0): fill entries trail
+                # the sorted uniques and the score gather
+                # promises indices_are_sorted
+                hp = E.host_dedup(chunk, cap,
+                                  fill=self._base.num_features - 1)
                 rung = E.ladder_budget(int(hp.count), cap=cap)
                 if not bool(hp.overflow):   # overflow -> exact fallback
                     plan = E.DedupBatch(

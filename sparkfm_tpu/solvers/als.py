@@ -375,7 +375,11 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
     x2 = x * x
     n_ex = ws.y.shape[0]
 
-    paired_minor = rank_csr.shape[-1] * 512 <= (3 << 30)
+    # the paired temps are (nnz, 2) / (L, N, 2) shaped — BOTH tile to
+    # 512 bytes per nnz entry, so the guard must scale with nnz = L*N
+    # (keying on N alone under-counted by L: a 39-slot dataset at N=5M
+    # would have passed at "2.6 GB" while the real eq temp is ~100 GB)
+    paired_minor = rank_csr.size * 512 <= (3 << 30)
     csc_uniform = csc_uniform and not paired_minor
 
     def _csc_slice(arr, b):
@@ -771,11 +775,14 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
         train, np.asarray(ws.block_of_feat))
     uniform = cpure and csc_blocks_uniform(
         train, np.asarray(ws.block_of_feat))
-    # past ~6M examples the single-jit sweep exceeds the runtime's ~60 s
-    # dispatch kill threshold; run it as K+1 dispatches instead (exact
-    # same update sequence, tests/test_als.py)
+    # run the sweep as K+1 dispatches when the single jit risks the
+    # runtime's ~60 s dispatch kill (exact same update sequence,
+    # tests/test_als.py). Sweep time scales with nnz*K — calibrated
+    # 100 s at nnz=50M, K=32 (ML-25M) => ~6.25e-8 s per nnz*K; cut
+    # over at an estimated ~25 s (4e8), well clear of the kill
     sweep_fn = (als_sweep_compact_dispatched
-                if train.ids.shape[0] > 6_000_000 else als_sweep_compact)
+                if train.ids.size * cfg.num_factors > (4 * 10**8)
+                else als_sweep_compact)
     for epoch in range(als_cfg.epochs):
         if n_ranks:
             params = sweep_fn(

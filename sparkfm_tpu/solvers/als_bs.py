@@ -325,6 +325,10 @@ def train_als_relational(cfg: FMConfig, als_cfg: ALSConfig,
             rec.update({f"eval_{k}": v for k, v in _trainer.evaluate(
                 params, cfg, ev).items()})
         history.append(rec)
+        if als_cfg.max_seconds and (time.perf_counter() - t0
+                                    >= als_cfg.max_seconds):
+            # wall-clock budget (the reference's `timeout`, FM.scala:30)
+            break
     jax.block_until_ready(params.v)
     eps = n_examples / max(time.perf_counter() - t0, 1e-9)
     return _trainer.TrainResult(params=params, history=history,

@@ -51,7 +51,10 @@ def evaluate(params: FMParams, cfg: FMConfig, ds: SparseDataset,
         score_fn = _eval_scores_fn(cfg)
     dedup_budget = dedup_fill = None
     if cfg.num_fields == 0 and cfg.num_features >= (1 << 16):
-        dedup_budget, dedup_fill = "ladder", 0
+        # fill = LAST row id: fill entries trail the sorted uniques, so
+        # fill must compare >= every uid or fm.scores'
+        # indices_are_sorted gather promise is violated (UB on TPU)
+        dedup_budget, dedup_fill = "ladder", cfg.num_features - 1
     all_scores: List[np.ndarray] = []
     for b in batch_iterator(ds, batch_size, shuffle=False,
                             dedup_budget=dedup_budget,
@@ -163,7 +166,17 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
         from sparkfm_tpu.utils.checkpoint import Checkpointer
         ckpt = Checkpointer(checkpoint_dir)
         if resume and ckpt.latest_step() is not None:
-            state, extra = ckpt.restore(template=state)
+            try:
+                state, extra = ckpt.restore(template=state)
+            except Exception as e:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} does not match the "
+                    f"resolved update path {path!r} state layout — it was "
+                    "probably written under a different update_path (the "
+                    "'auto' policy can change across versions: round 5 "
+                    "routes big-table FFM to 'fused'). Pin SGDConfig."
+                    "update_path to the original path to resume, or start "
+                    "fresh with resume=False.") from e
             start_epoch = int(extra.get("epoch", -1)) + 1
             history = list(extra.get("history", []))
             log.info("resumed from %s at epoch %d", checkpoint_dir,
@@ -408,7 +421,17 @@ def _train_sgd_sharded(cfg: FMConfig, sgd_cfg: SGDConfig,
         from sparkfm_tpu.utils.checkpoint import Checkpointer
         ckpt = Checkpointer(checkpoint_dir)
         if resume and ckpt.latest_step() is not None:
-            state, extra = ckpt.restore(template=state)
+            try:
+                state, extra = ckpt.restore(template=state)
+            except Exception as e:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} does not match the "
+                    f"resolved update path {path!r} state layout — it was "
+                    "probably written under a different update_path (the "
+                    "'auto' policy can change across versions: round 5 "
+                    "routes big-table FFM to 'fused'). Pin SGDConfig."
+                    "update_path to the original path to resume, or start "
+                    "fresh with resume=False.") from e
             start_epoch = int(extra.get("epoch", -1)) + 1
             history = list(extra.get("history", []))
             log.info("resumed from %s at epoch %d", checkpoint_dir,

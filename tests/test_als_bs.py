@@ -138,3 +138,15 @@ def test_facade_relational_als_routes_bs():
     assert np.isfinite(np.asarray(model.params.v)).all()
     recs = [r for r in model.history if "eval_rmse" in r]
     assert recs and recs[-1]["eval_rmse"] < 1.3
+
+
+def test_relational_als_honors_max_seconds():
+    """The wall-clock budget (reference `timeout`, FM.scala:30) stops
+    the BS-ALS loop too (code-review r5: it was silently ignored on the
+    relational path)."""
+    rel = _relational()
+    cfg = FMConfig(num_features=rel.num_features, num_factors=2,
+                   reg_v=0.1, seed=0)
+    res = als_bs.train_als_relational(
+        cfg, ALSConfig(epochs=200, block_size=4, max_seconds=1e-6), rel)
+    assert len(res.history) == 1

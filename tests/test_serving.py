@@ -56,8 +56,9 @@ def test_microbatcher_big_table_plans_and_chunking():
         reqs.append((ids, vals))
         mb.submit(ids, vals)
     out = mb.flush()
+    from scipy.special import expit
     for (ids, vals), got in zip(reqs, out):
-        ref = np.asarray(fm_model.scores(params, cfg, ids, vals))
+        ref = expit(np.asarray(fm_model.scores(params, cfg, ids, vals)))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
@@ -82,8 +83,8 @@ def test_microbatcher_deepfm():
         mb.submit(ids, vals)
     out = mb.flush()
     for (ids, vals), got in zip(reqs, out):
-        ref = np.asarray(DF.scores(params, dcfg, jnp.asarray(ids),
-                                   jnp.asarray(vals)))
+        ref = np.asarray(DF.predict(params, dcfg, jnp.asarray(ids),
+                                    jnp.asarray(vals)))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
@@ -95,6 +96,8 @@ def test_microbatcher_rejects_mixed_field_submissions():
     ids = np.zeros((1, 3), np.int32)
     vals = np.ones((1, 3), np.float32)
     mb.submit(ids, vals, field_ids=np.arange(3, dtype=np.int32)[None])
-    mb.submit(ids, vals)                      # no field_ids
     with pytest.raises(ValueError, match="mixed"):
-        mb.flush()
+        mb.submit(ids, vals)                  # no field_ids
+    # the queue is NOT poisoned: the good request still flushes
+    out = mb.flush()
+    assert len(out) == 1

@@ -123,3 +123,26 @@ def test_facade_als_and_mcmc_on_mesh():
     with pytest.raises(ValueError, match="exchange"):
         FM(solver="als", mesh=MeshConfig(data=8, model=1,
                                          exchange="unique")).fit(ds)
+
+
+def test_sharded_als_and_mcmc_honor_max_seconds():
+    """max_seconds stops the sharded ALS sweep loop and the sharded
+    Gibbs chain (code-review r5: both ignored it)."""
+    from sparkfm_tpu.config import MCMCConfig
+    from sparkfm_tpu.parallel.sharded_als import train_mcmc_sharded
+    from sparkfm_tpu.solvers.als import slot_blocks
+
+    ds = synth.synth_movielens(num_users=12, num_items=12,
+                               num_examples=64, seed=0)
+    mesh = M.make_mesh(4, 2)
+    cfg = FMConfig(num_features=ds.num_features, num_factors=2,
+                   reg_v=0.5, seed=0)
+    res = sharded_als.train_als_sharded(
+        cfg, ALSConfig(epochs=200, block_size=8, max_seconds=1e-6),
+        ds, mesh)
+    assert len(res.history) == 1
+    mres = train_mcmc_sharded(
+        cfg, MCMCConfig(epochs=200, burn_in=1, max_seconds=1e-6,
+                        feature_blocks=slot_blocks(ds)),
+        ds, mesh, key=jax.random.PRNGKey(0))
+    assert len(mres.history) == 1
