@@ -110,6 +110,7 @@ def bench_als(hb):
     cpure = A.blocks_are_column_pure(ds, np.asarray(ws.block_of_feat))
     uniform = cpure and A.csc_blocks_uniform(ds,
                                              np.asarray(ws.block_of_feat))
+    ident = A.csc_slice_identity(ws, nb, n) if uniform else ()
     # the runtime kills single dispatches over ~60 s ("TPU worker
     # crashed", measured): above an estimated ~25 s of sweep (nnz*K,
     # calibrated 100 s at 50M*32) run it as K+1 dispatches — identical
@@ -117,14 +118,16 @@ def bench_als(hb):
     dispatched = ds.ids.size * cfg.num_factors > (4 * 10**8)
     hb(f"als: column_pure={cpure} csc_uniform={uniform} "
        f"dispatched={dispatched}")
+    hb(f"als: slice_identity={ident}")
     if dispatched:
         sweep = lambda p, w: A.als_sweep_compact_dispatched(
             p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv,
-            column_pure=cpure, csc_uniform=uniform)
+            column_pure=cpure, csc_uniform=uniform, slice_identity=ident)
     else:
         sweep = jax.jit(lambda p, w: A.als_sweep_compact(
             p, w, nb, cfg.num_features, n_ranks, cfg.reg0, rw, rv,
-            column_pure=cpure, csc_uniform=uniform))
+            column_pure=cpure, csc_uniform=uniform,
+            slice_identity=ident))
     rpc = _rpc_latency(hb)
     hb("als: compiling sweep")
     params = sweep(params, ws)

@@ -107,12 +107,25 @@ def build_workspace(ds: SparseDataset, cfg: FMConfig,
     """Host-side prep: flatten + sort the transposed view, assign blocks.
 
     Returns (workspace, num_blocks).
+
+    Examples are RE-ORDERED by their slot-0 feature first (ALS is a
+    full-batch method: example order has no semantic meaning, only
+    float-summation order shifts within tolerance). With slot-aligned
+    blocks this makes block 0's CSC run the IDENTITY permutation of
+    examples (entries sorted by feature, stable over the example order,
+    which now IS slot-0-feature order), so the sweep's e/q gathers for
+    that block — half of the per-factor gather bill at L=2 — disappear
+    (see slice_identity in :func:`csc_slice_identity`).
     """
     n, l = ds.ids.shape
     f = cfg.num_features
-    col_feat = ds.ids.reshape(-1).astype(np.int32)
+    ex_order = np.argsort(np.asarray(ds.ids[:, 0]), kind="stable")
+    ids_s = np.asarray(ds.ids)[ex_order]
+    vals_s = np.asarray(ds.vals)[ex_order]
+    y_s = np.asarray(ds.y)[ex_order]
+    col_feat = ids_s.reshape(-1).astype(np.int32)
     col_row = np.repeat(np.arange(n, dtype=np.int32), l)
-    col_val = ds.vals.reshape(-1).astype(np.float32)
+    col_val = vals_s.reshape(-1).astype(np.float32)
     order = np.argsort(col_feat, kind="stable")
     col_feat, col_row, col_val = (col_feat[order], col_row[order],
                                   col_val[order])
@@ -141,13 +154,13 @@ def build_workspace(ds: SparseDataset, cfg: FMConfig,
     present = col_feat[boundary].astype(np.int32)
     rank_of_feat = np.zeros((f,), np.int32)
     rank_of_feat[present] = np.arange(len(present), dtype=np.int32)
-    rank_csr = rank_of_feat[ds.ids]
+    rank_csr = rank_of_feat[ids_s]
 
     ws = ALSWorkspace(
         ids=jnp.asarray(np.ascontiguousarray(rank_csr.T)),
         vals=jnp.asarray(np.ascontiguousarray(
-            ds.vals.astype(np.float32).T)),     # (L, N) — see class doc
-        y=jnp.asarray(ds.y),
+            vals_s.astype(np.float32).T)),      # (L, N) — see class doc
+        y=jnp.asarray(y_s),
         col_feat=jnp.asarray(col_feat), col_row=jnp.asarray(col_row),
         col_val=jnp.asarray(col_val),
         block_of_feat=jnp.asarray(block_of_feat),
@@ -341,7 +354,7 @@ def csc_blocks_uniform(ds: SparseDataset, block_of_feat) -> bool:
 def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
                  reg0: float, reg_w, reg_v, use_bias: bool,
                  use_linear: bool, column_pure: bool, csc_uniform: bool,
-                 K: int):
+                 K: int, slice_identity: tuple = ()):
     """Shared machinery of the compact sweep: returns (fwd_w_fn,
     factor_fn) pure functions so the sweep can run as ONE jit
     (:func:`als_sweep_compact`) or as K+1 dispatches
@@ -379,12 +392,25 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
     # 512 bytes per nnz entry, so the guard must scale with nnz = L*N
     # (keying on N alone under-counted by L: a 39-slot dataset at N=5M
     # would have passed at "2.6 GB" while the real eq temp is ~100 GB)
-    paired_minor = rank_csr.size * 512 <= (3 << 30)
+    paired_minor = rank_csr.size * 512 <= _PAIRED_MINOR_MAX_BYTES
     csc_uniform = csc_uniform and not paired_minor
+    # With csc_uniform and few blocks, UNROLL the block loops: b becomes
+    # a Python int, slices become static, and blocks whose CSC run is
+    # the identity permutation (slice_identity, host-verified; block 0
+    # by construction after build_workspace's example reorder) skip
+    # their e/q gathers entirely — half the per-factor gather bill at
+    # L=2, the dominant cost of the large-N sweep.
+    unroll = csc_uniform and num_blocks <= 16
+
+    def _ident(b):
+        return (unroll and b < len(slice_identity)
+                and bool(slice_identity[b]))
 
     def _csc_slice(arr, b):
         # block b's CSC entries = the contiguous [b*N, (b+1)*N) run
         # (host-verified by csc_blocks_uniform)
+        if unroll:                      # b is a Python int: static slice
+            return jax.lax.slice_in_dim(arr, b * n_ex, (b + 1) * n_ex)
         return jax.lax.dynamic_slice_in_dim(arr, b * n_ex, n_ex)
 
     def _patch(arr_c, b):
@@ -442,8 +468,9 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
         def w_block(b, carry):
             w_c, e = carry
             if csc_uniform:
+                e_csc = e if _ident(b) else e[_csc_slice(col_row, b)]
                 num = SS.segment_colsums(
-                    [e[_csc_slice(col_row, b)] * _csc_slice(x, b)],
+                    [e_csc * _csc_slice(x, b)],
                     _csc_slice(col_rank, b), Fp)[:, 0]
             else:
                 num = SS.segment_colsums([e[col_row] * x],
@@ -454,7 +481,14 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
             return (w_c + delta, e + de)
 
         if use_linear:
-            w_c, e = jax.lax.fori_loop(0, num_blocks, w_block, (w_c, e))
+            if unroll:
+                carry = (w_c, e)
+                for b in range(num_blocks):
+                    carry = w_block(b, carry)
+                w_c, e = carry
+            else:
+                w_c, e = jax.lax.fori_loop(0, num_blocks, w_block,
+                                           (w_c, e))
         return w0_new, w_c, v_c, e
 
     def factor_fn(f, v_c_all, e):
@@ -467,9 +501,12 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
         def v_block(b, c2):
             vf, q, e = c2
             if csc_uniform:                      # large-N path
-                crow_b = _csc_slice(col_row, b)
-                e_csc = e[crow_b]
-                q_csc = q[crow_b]
+                if _ident(b):            # CSC run == example order
+                    e_csc, q_csc = e, q
+                else:
+                    crow_b = _csc_slice(col_row, b)
+                    e_csc = e[crow_b]
+                    q_csc = q[crow_b]
                 xb = _csc_slice(x, b)
                 xb2 = xb * xb
                 seg_b = _csc_slice(col_rank, b)
@@ -524,18 +561,46 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
                      - 0.5 * de_sq)
             return (vf_new, q_new, e_new)
 
-        vf, q, e = jax.lax.fori_loop(0, num_blocks, v_block,
-                                     (vf0, q0, e))
+        if unroll:
+            c2 = (vf0, q0, e)
+            for b in range(num_blocks):
+                c2 = v_block(b, c2)
+            vf, q, e = c2
+        else:
+            vf, q, e = jax.lax.fori_loop(0, num_blocks, v_block,
+                                         (vf0, q0, e))
         return v_c_all.at[:, f].set(vf), e
 
     return fwd_w_fn, factor_fn
+
+
+# Padded-temp budget for the fast minor-axis paired gathers (tests
+# monkeypatch this to force the large-N csc_uniform path on small data)
+_PAIRED_MINOR_MAX_BYTES = 3 << 30
+
+
+def csc_slice_identity(ws: ALSWorkspace, num_blocks: int,
+                       n_examples: int) -> tuple:
+    """Per-block flags: True iff block b's CSC run is exactly
+    col_row[b*N:(b+1)*N] == arange(N) — its e/q "gathers" are then the
+    identity and the sweep skips them (build_workspace's example
+    reorder makes this true for block 0 by construction on slot-block
+    data). Host-side; only meaningful under csc_blocks_uniform."""
+    cr = np.asarray(ws.col_row)
+    if cr.shape[0] != num_blocks * n_examples:
+        return tuple([False] * num_blocks)
+    ar = np.arange(n_examples, dtype=cr.dtype)
+    return tuple(bool(np.array_equal(
+        cr[b * n_examples:(b + 1) * n_examples], ar))
+        for b in range(num_blocks))
 
 
 def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                    num_ranks: int, reg0: float, reg_w, reg_v,
                    use_bias: bool = True, use_linear: bool = True,
                    column_pure: bool = False,
-                   csc_uniform: bool = False) -> FMParams:
+                   csc_uniform: bool = False,
+                   slice_identity: tuple = ()) -> FMParams:
     """Round-4 factored compact sweep — same math as _sweep_impl, ~5x
     faster on TPU. Three structural changes:
 
@@ -562,7 +627,7 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
     K = params.v.shape[-1]
     fwd_w_fn, factor_fn = _compact_ctx(
         ws, num_blocks, num_ranks, reg0, reg_w, reg_v, use_bias,
-        use_linear, column_pure, csc_uniform, K)
+        use_linear, column_pure, csc_uniform, K, slice_identity)
     w0_new, w_c, v_c, e = fwd_w_fn(params)
 
     def body(f, carry):
@@ -579,25 +644,28 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_ranks", "reg0",
                                    "use_bias", "use_linear",
-                                   "column_pure", "csc_uniform", "K"))
+                                   "column_pure", "csc_uniform", "K",
+                                   "slice_identity"))
 def _jit_fwd_w(params, ws, num_blocks, num_ranks, reg0, reg_w, reg_v,
-               use_bias, use_linear, column_pure, csc_uniform, K):
+               use_bias, use_linear, column_pure, csc_uniform, K,
+               slice_identity=()):
     fwd_w_fn, _ = _compact_ctx(ws, num_blocks, num_ranks, reg0, reg_w,
                                reg_v, use_bias, use_linear, column_pure,
-                               csc_uniform, K)
+                               csc_uniform, K, slice_identity)
     return fwd_w_fn(params)
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_ranks", "reg0",
                                    "use_bias", "use_linear",
-                                   "column_pure", "csc_uniform", "K"),
+                                   "column_pure", "csc_uniform", "K",
+                                   "slice_identity"),
          donate_argnums=(1, 2))
 def _jit_factor(f, v_c, e, ws, num_blocks, num_ranks, reg0, reg_w,
                 reg_v, use_bias, use_linear, column_pure, csc_uniform,
-                K):
+                K, slice_identity=()):
     _, factor_fn = _compact_ctx(ws, num_blocks, num_ranks, reg0, reg_w,
                                 reg_v, use_bias, use_linear, column_pure,
-                                csc_uniform, K)
+                                csc_uniform, K, slice_identity)
     return factor_fn(f, v_c, e)
 
 
@@ -607,7 +675,8 @@ def als_sweep_compact_dispatched(params: FMParams, ws: ALSWorkspace,
                                  reg_v, use_bias: bool = True,
                                  use_linear: bool = True,
                                  column_pure: bool = False,
-                                 csc_uniform: bool = False) -> FMParams:
+                                 csc_uniform: bool = False,
+                                 slice_identity: tuple = ()) -> FMParams:
     """The compact sweep as K+1 dispatches (host factor loop) instead of
     one jit. EXACTLY the update sequence of :func:`als_sweep_compact`
     (same fwd_w_fn / factor_fn; the fori becomes a Python loop), needed
@@ -622,7 +691,8 @@ def als_sweep_compact_dispatched(params: FMParams, ws: ALSWorkspace,
             use_linear, column_pure, csc_uniform, K)
     kw = dict(num_blocks=num_blocks, num_ranks=num_ranks, reg0=reg0,
               use_bias=use_bias, use_linear=use_linear,
-              column_pure=column_pure, csc_uniform=csc_uniform, K=K)
+              column_pure=column_pure, csc_uniform=csc_uniform, K=K,
+              slice_identity=slice_identity)
     del args
     w0_new, w_c, v_c, e = _jit_fwd_w(params, ws, reg_w=reg_w,
                                      reg_v=reg_v, **kw)
@@ -638,13 +708,14 @@ def als_sweep_compact_dispatched(params: FMParams, ws: ALSWorkspace,
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
                                    "num_ranks", "reg0", "use_bias",
                                    "use_linear", "column_pure",
-                                   "csc_uniform"))
+                                   "csc_uniform", "slice_identity"))
 def als_sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                       num_features: int, num_ranks: int, reg0: float,
                       reg_w, reg_v, use_bias: bool = True,
                       use_linear: bool = True,
                       column_pure: bool = False,
-                      csc_uniform: bool = False) -> FMParams:
+                      csc_uniform: bool = False,
+                      slice_identity: tuple = ()) -> FMParams:
     """Jitted compact sweep (see _sweep_compact). Requires a workspace
     from :func:`build_workspace` (col_rank/present/CSR rank views).
     column_pure: host-verified via :func:`blocks_are_column_pure`;
@@ -658,7 +729,8 @@ def als_sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
     return _sweep_compact(params, ws, num_blocks, num_ranks, reg0,
                           reg_w, reg_v, use_bias, use_linear,
                           column_pure=column_pure,
-                          csc_uniform=csc_uniform)
+                          csc_uniform=csc_uniform,
+                          slice_identity=slice_identity)
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_features",
@@ -775,6 +847,8 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
         train, np.asarray(ws.block_of_feat))
     uniform = cpure and csc_blocks_uniform(
         train, np.asarray(ws.block_of_feat))
+    ident = (csc_slice_identity(ws, num_blocks, train.ids.shape[0])
+             if uniform else ())
     # run the sweep as K+1 dispatches when the single jit risks the
     # runtime's ~60 s dispatch kill (exact same update sequence,
     # tests/test_als.py). Sweep time scales with nnz*K — calibrated
@@ -788,7 +862,8 @@ def train_als(cfg: FMConfig, als_cfg: ALSConfig, train: SparseDataset,
             params = sweep_fn(
                 params, ws, num_blocks, cfg.num_features, n_ranks,
                 cfg.reg0, reg_w_vec, reg_v_vec, cfg.use_bias,
-                cfg.use_linear, column_pure=cpure, csc_uniform=uniform)
+                cfg.use_linear, column_pure=cpure, csc_uniform=uniform,
+                slice_identity=ident)
         else:
             params = als_sweep(params, ws, num_blocks, cfg.num_features,
                                cfg.reg0, reg_w_vec, reg_v_vec,

@@ -335,3 +335,52 @@ def test_dispatched_sweep_matches_single_jit():
     np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w),
                                rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(float(a.w0), float(b.w0), rtol=1e-6)
+
+
+def test_identity_slice_sweep_parity():
+    """The slice-identity unrolled sweep (block 0's CSC run == example
+    order after build_workspace's reorder) == the gathered form."""
+    import jax
+    from sparkfm_tpu.solvers import als as A
+    from sparkfm_tpu.models import fm as fm_model
+    from sparkfm_tpu.config import ALSConfig, FMConfig
+    from sparkfm_tpu.data.batching import SparseDataset
+
+    rng = np.random.default_rng(21)
+    n, users, movies = 700, 35, 25
+    ids = np.stack([rng.integers(0, users, n),
+                    users + rng.integers(0, movies, n)], axis=1
+                   ).astype(np.int32)
+    ds = SparseDataset(ids=ids, vals=np.ones((n, 2), np.float32),
+                       y=rng.normal(size=(n,)).astype(np.float32),
+                       num_features=users + movies)
+    cfg = FMConfig(num_features=users + movies, num_factors=4,
+                   reg_w=0.1, reg_v=0.5, seed=0)
+    ws, nb = A.build_workspace(ds, cfg,
+                               ALSConfig(feature_blocks=A.slot_blocks(ds)))
+    n_ranks = int(ws.present.shape[0])
+    ident = A.csc_slice_identity(ws, nb, n)
+    # the example reorder makes block 0's run the identity
+    assert ident[0] is True
+    p0 = fm_model.init_params(cfg, jax.random.PRNGKey(0))
+    # force the large-N csc_uniform machinery on this small problem
+    # (paired_minor would otherwise shadow it and make the test vacuous)
+    old = A._PAIRED_MINOR_MAX_BYTES
+    A._PAIRED_MINOR_MAX_BYTES = 0
+    try:
+        a = p0
+        b = p0
+        for _ in range(2):
+            a = A.als_sweep_compact(a, ws, nb, cfg.num_features, n_ranks,
+                                    cfg.reg0, cfg.reg_w, cfg.reg_v,
+                                    column_pure=True, csc_uniform=True,
+                                    slice_identity=ident)
+            b = A.als_sweep_compact(b, ws, nb, cfg.num_features, n_ranks,
+                                    cfg.reg0, cfg.reg_w, cfg.reg_v,
+                                    column_pure=True, csc_uniform=True)
+    finally:
+        A._PAIRED_MINOR_MAX_BYTES = old
+    np.testing.assert_allclose(np.asarray(a.v), np.asarray(b.v),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.w), np.asarray(b.w),
+                               rtol=1e-5, atol=1e-6)
