@@ -435,8 +435,15 @@ class FM:
 
     def fit(self, train: SparseDataset,
             eval_ds: Optional[SparseDataset] = None,
-            checkpoint_dir: Optional[str] = None) -> FMModel:
+            checkpoint_dir: Optional[str] = None,
+            init_params=None) -> FMModel:
         """Fit on a SparseDataset OR a block-structure RelationalDataset.
+
+        ``init_params`` warm-starts from an existing model (an FMParams
+        or a fitted FMModel) instead of a fresh keyed init — the
+        reference's ``FMLearn.learn(fm, data)`` signature takes the
+        current model the same way (FMLearn.scala:12). Supported for
+        solver sgd/als/mcmc on a single device.
 
         Relational input is the facade analog of the reference's
         `FM.withRelation(...)` (FM.scala:17): SGD trains directly on the
@@ -444,6 +451,13 @@ class FM:
         materialize first (the reference's 'Method 1').
         """
         from sparkfm_tpu.data.relational import RelationalDataset
+        if init_params is not None:
+            if isinstance(init_params, FMModel):
+                init_params = init_params.params
+            if self.model == "deepfm" or isinstance(train,
+                                                    RelationalDataset):
+                raise ValueError("init_params warm start supports plain "
+                                 "FM on a SparseDataset")
         if self.mesh is not None and (self.solver not in ("sgd", "als",
                                                           "mcmc")
                                       or isinstance(train,
@@ -521,7 +535,8 @@ class FM:
             res = _trainer.train_sgd(cfg, sgd_cfg, train, eval_ds,
                                      self.eval_every, key,
                                      checkpoint_dir=checkpoint_dir,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     init_params=init_params)
         elif self.solver == "als":
             from sparkfm_tpu.solvers.als import slot_blocks, train_als
             # Slot-aligned blocks: features sharing a CSR slot never
@@ -533,11 +548,14 @@ class FM:
                                 feature_blocks=slot_blocks(train),
                                 max_seconds=self.timeout)
             if self.mesh is not None:
+                if init_params is not None:
+                    raise ValueError("init_params warm start is "
+                                     "single-device for now")
                 res = _als_mesh(cfg, als_cfg, train, eval_ds,
                                 self.eval_every, key, self.mesh)
             else:
                 res = train_als(cfg, als_cfg, train, eval_ds,
-                                self.eval_every, key)
+                                self.eval_every, key, params=init_params)
         elif self.solver == "mcmc":
             from sparkfm_tpu.config import MCMCConfig
             from sparkfm_tpu.solvers.mcmc import train_mcmc
@@ -547,10 +565,14 @@ class FM:
                                   feature_blocks=slot_blocks(train),
                                   max_seconds=self.timeout)
             if self.mesh is not None:
+                if init_params is not None:
+                    raise ValueError("init_params warm start is "
+                                     "single-device for now")
                 res = _mcmc_mesh(cfg, mcmc_cfg, train, eval_ds, key,
                                  self.mesh)
             else:
-                res = train_mcmc(cfg, mcmc_cfg, train, eval_ds, key)
+                res = train_mcmc(cfg, mcmc_cfg, train, eval_ds, key,
+                                 params=init_params)
         else:
             raise ValueError(f"unknown solver {self.solver!r}")
         return FMModel(params=res.params, cfg=cfg, history=res.history,

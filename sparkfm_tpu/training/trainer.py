@@ -116,7 +116,8 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
               checkpoint_dir: Optional[str] = None,
               checkpoint_every: int = 1,
               resume: bool = True,
-              mesh=None) -> TrainResult:
+              mesh=None,
+              init_params=None) -> TrainResult:
     """SGD training (BASELINE config 1 path).
 
     With ``mesh`` set (a jax.sharding.Mesh from parallel.mesh.make_mesh, or
@@ -134,13 +135,24 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
     uninterrupted one exactly (tests/test_checkpoint.py).
     """
     if mesh is not None:
+        if init_params is not None:
+            raise ValueError("init_params (warm start) is single-device "
+                             "for now; shard the tables manually via "
+                             "parallel.sharded_sgd for a sharded warm "
+                             "start")
         return _train_sgd_sharded(cfg, sgd_cfg, train, eval_ds, eval_every,
                                   key, hooks, checkpoint_dir,
                                   checkpoint_every, resume, mesh)
     path = sgd_solver.resolve_update_path(cfg, sgd_cfg)
+    if init_params is not None and init_params.v.shape[0] != cfg.num_features:
+        raise ValueError(
+            f"init_params table has {init_params.v.shape[0]} rows != "
+            f"num_features {cfg.num_features}")
     if path in ("fused", "sorted", "hybrid"):
         from sparkfm_tpu.solvers import sgd_fused
-        state = sgd_fused.init_fused_state(cfg, key)
+        state = (sgd_fused.fused_from_params(init_params, cfg)
+                 if init_params is not None
+                 else sgd_fused.init_fused_state(cfg, key))
         if path == "sorted":
             from sparkfm_tpu.solvers import sgd_sorted
             step_fn = sgd_sorted.make_sorted_train_step(cfg, sgd_cfg)
@@ -151,7 +163,8 @@ def train_sgd(cfg: FMConfig, sgd_cfg: SGDConfig, train: SparseDataset,
             step_fn = sgd_fused.make_fused_train_step(cfg, sgd_cfg)
         get_params = lambda s: sgd_fused.params_from_fused(s, cfg)
     else:
-        params = fm_model.init_params(cfg, key)
+        params = (init_params if init_params is not None
+                  else fm_model.init_params(cfg, key))
         state = sgd_solver.init_state(params, optimizer=sgd_cfg.optimizer)
         if path == "dedup":
             state = sgd_solver.pad_state_for_dedup(state)
