@@ -425,9 +425,12 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
             return arr_c[rb] * vb, vb
         return jnp.sum(arr_c[rank_csr] * vals_csr, axis=0), None
 
-    def fwd_w_fn(params):
+    def fwd_w_fn(params, interaction=None):
         """Forward + global bias + blocked linear weights.
-        Returns (w0_new, w_c, v_c, e)."""
+        Returns (w0_new, w_c, v_c, e, q_all). With ``interaction``
+        given (the dispatched path's banked-q forward already summed
+        0.5*(q_f^2 - sq_f) over factors), the interaction loop is
+        skipped and q_all is None."""
         w_c = params.w[present]
         v_c = params.v[present]                         # (Fp, K)
         den_w_c = ws.den_w[present]
@@ -435,13 +438,27 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
         rw_c = reg_w[present] if jnp.ndim(reg_w) else reg_w
         mask = ws.mask if ws.mask is not None else jnp.ones_like(ws.y)
 
+        # q_all[f] = per-example q for factor f, banked for the factor
+        # loop when the batched forward runs (it produces sK for free):
+        # q depends only on v[:, f], untouched until factor f runs, so
+        # the factor loop can skip its per-factor q0 recompute.
+        # Measured: 1.06 -> 0.85 s/sweep at N=500K. Above the batched
+        # threshold the bank is a LOSS, not a win — per-factor
+        # dynamic row slice/update on a (K, N) 3.2 GB buffer lowers to
+        # pathologically-padded (1, N) copies (25M sweep measured
+        # 176.6 s vs 88.5 without banking) — so the large-N fori
+        # forward banks nothing and factors recompute q0.
         batched_bytes = rank_csr.size * K * 4
-        if batched_bytes <= (1 << 30):
+        if interaction is not None:
+            score = interaction
+            q_all = None
+        elif batched_bytes <= (1 << 30):
             v_rows = v_c[rank_csr]                      # (L, N, K)
             vx = v_rows * vals_csr[..., None]
             sK = jnp.sum(vx, axis=0)                    # (N, K)
             ssq = jnp.sum(jnp.square(vx), axis=(0, 2))
             score = 0.5 * (jnp.sum(jnp.square(sK), axis=-1) - ssq)
+            q_all = sK.T                                # (K, N)
         else:
             def fwd_f(f, acc):
                 vf = jax.lax.dynamic_index_in_dim(v_c, f, axis=1,
@@ -452,6 +469,7 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
                 return acc + 0.5 * (jnp.square(qf) - sqf)
 
             score = jax.lax.fori_loop(0, K, fwd_f, jnp.zeros_like(ws.y))
+            q_all = None
         if use_linear:
             score = score + jnp.sum(w_c[rank_csr] * vals_csr, axis=0)
         if use_bias:
@@ -489,14 +507,23 @@ def _compact_ctx(ws: ALSWorkspace, num_blocks: int, num_ranks: int,
             else:
                 w_c, e = jax.lax.fori_loop(0, num_blocks, w_block,
                                            (w_c, e))
-        return w0_new, w_c, v_c, e
+        return w0_new, w_c, v_c, e, q_all
 
-    def factor_fn(f, v_c_all, e):
-        """One factor's blocked coordinate updates; returns (v_c, e)."""
+    def factor_fn(f, v_c_all, e, q_all):
+        """One factor's blocked coordinate updates; returns (v_c, e).
+        q_all[f] (when banked by fwd_w_fn — small shapes only, see the
+        forward) replaces the per-factor q0 recompute — valid because
+        v[:, f] is untouched before this."""
         block_c = ws.block_of_feat[present]
         rv_c = reg_v[present] if jnp.ndim(reg_v) else reg_v
         vf0 = v_c_all[:, f]                             # (Fp,)
-        q0 = jnp.sum(vf0[rank_csr] * vals_csr, axis=0)  # (N,)
+        if q_all is None:
+            q0 = jnp.sum(vf0[rank_csr] * vals_csr, axis=0)
+        elif q_all.ndim == 1:          # dispatched path: this factor's q
+            q0 = q_all
+        else:
+            q0 = jax.lax.dynamic_index_in_dim(q_all, f, axis=0,
+                                              keepdims=False)
 
         def v_block(b, c2):
             vf, q, e = c2
@@ -628,11 +655,11 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
     fwd_w_fn, factor_fn = _compact_ctx(
         ws, num_blocks, num_ranks, reg0, reg_w, reg_v, use_bias,
         use_linear, column_pure, csc_uniform, K, slice_identity)
-    w0_new, w_c, v_c, e = fwd_w_fn(params)
+    w0_new, w_c, v_c, e, q_all = fwd_w_fn(params)
 
     def body(f, carry):
         v_c, e = carry
-        return factor_fn(f, v_c, e)
+        return factor_fn(f, v_c, e, q_all)
 
     v_c, e = jax.lax.fori_loop(0, K, body, (v_c, e))
 
@@ -648,11 +675,28 @@ def _sweep_compact(params: FMParams, ws: ALSWorkspace, num_blocks: int,
                                    "slice_identity"))
 def _jit_fwd_w(params, ws, num_blocks, num_ranks, reg0, reg_w, reg_v,
                use_bias, use_linear, column_pure, csc_uniform, K,
-               slice_identity=()):
+               slice_identity=(), interaction=None):
     fwd_w_fn, _ = _compact_ctx(ws, num_blocks, num_ranks, reg0, reg_w,
                                reg_v, use_bias, use_linear, column_pure,
                                csc_uniform, K, slice_identity)
-    return fwd_w_fn(params)
+    return fwd_w_fn(params, interaction)
+
+
+@jax.jit
+def _jit_compact_v(params, present):
+    return params.v[present]                             # (Fp, K)
+
+
+@partial(jax.jit, donate_argnums=(1,))
+def _jit_qf(vf, acc, rank_csr, vals_csr):
+    """One factor's forward contribution: returns (q_f, acc + 0.5*(q_f^2
+    - sq_f)). The dispatched sweep banks q_f for the factor loop — the
+    same (L, N) gather pass previously ran TWICE per factor (forward +
+    factor q0 recompute)."""
+    vr = vf[rank_csr] * vals_csr                         # (L, N)
+    qf = jnp.sum(vr, axis=0)
+    sqf = jnp.sum(jnp.square(vr), axis=0)
+    return qf, acc + 0.5 * (jnp.square(qf) - sqf)
 
 
 @partial(jax.jit, static_argnames=("num_blocks", "num_ranks", "reg0",
@@ -660,13 +704,13 @@ def _jit_fwd_w(params, ws, num_blocks, num_ranks, reg0, reg_w, reg_v,
                                    "column_pure", "csc_uniform", "K",
                                    "slice_identity"),
          donate_argnums=(1, 2))
-def _jit_factor(f, v_c, e, ws, num_blocks, num_ranks, reg0, reg_w,
-                reg_v, use_bias, use_linear, column_pure, csc_uniform,
-                K, slice_identity=()):
+def _jit_factor(f, v_c, e, q_all, ws, num_blocks, num_ranks, reg0,
+                reg_w, reg_v, use_bias, use_linear, column_pure,
+                csc_uniform, K, slice_identity=()):
     _, factor_fn = _compact_ctx(ws, num_blocks, num_ranks, reg0, reg_w,
                                 reg_v, use_bias, use_linear, column_pure,
                                 csc_uniform, K, slice_identity)
-    return factor_fn(f, v_c, e)
+    return factor_fn(f, v_c, e, q_all)
 
 
 def als_sweep_compact_dispatched(params: FMParams, ws: ALSWorkspace,
@@ -694,11 +738,25 @@ def als_sweep_compact_dispatched(params: FMParams, ws: ALSWorkspace,
               column_pure=column_pure, csc_uniform=csc_uniform, K=K,
               slice_identity=slice_identity)
     del args
-    w0_new, w_c, v_c, e = _jit_fwd_w(params, ws, reg_w=reg_w,
-                                     reg_v=reg_v, **kw)
+    # Banked-q forward: K small dispatches compute each factor's q
+    # ONCE, keep it as a plain (N,) array (no (K, N) buffer — per-
+    # factor row slice/update on one lowers to pathologically padded
+    # copies, measured 88.5 -> 176.6 s/sweep at 25M), and accumulate
+    # the interaction score; the head dispatch reuses the sum and the
+    # factor dispatches skip their q0 recompute (the second of two
+    # identical (L, N) gather passes per factor).
+    vc_full = _jit_compact_v(params, ws.present)
+    acc = jnp.zeros_like(ws.y)
+    q_list = []
     for f in range(K):
-        v_c, e = _jit_factor(jnp.int32(f), v_c, e, ws, reg_w=reg_w,
-                             reg_v=reg_v, **kw)
+        qf, acc = _jit_qf(vc_full[:, f], acc, ws.ids, ws.vals)
+        q_list.append(qf)
+    w0_new, w_c, v_c, e, _ = _jit_fwd_w(params, ws, reg_w=reg_w,
+                                        reg_v=reg_v, interaction=acc,
+                                        **kw)
+    for f in range(K):
+        v_c, e = _jit_factor(jnp.int32(f), v_c, e, q_list[f], ws,
+                             reg_w=reg_w, reg_v=reg_v, **kw)
     present = ws.present
     w_new = params.w.at[present].set(w_c) if use_linear else params.w
     v_new = params.v.at[present].set(v_c)
