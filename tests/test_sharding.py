@@ -542,3 +542,24 @@ def test_trainer_mesh_auto_path_runs_hybrid_backward(monkeypatch):
     assert calls, ("the sharded auto path never traced fm_grad_segsum — "
                    "hybrid extras were dropped before the step")
     assert np.isfinite(res.history[-1]["train_loss"])
+
+
+def test_sharded_ffm_slot_major_matches_single_device():
+    """cfg.slot_major_fields flows through the sharded loss/score (round
+    5): identical updates to the single-device step on fixed-column CTR
+    data, and identical to the aggregated-form sharded step."""
+    ds = synth.synth_ctr(num_examples=512, num_fields=4, num_buckets=64,
+                         seed=9)
+    sgd_cfg = SGDConfig(batch_size=128, learning_rate=0.05,
+                        optimizer="adagrad")
+    outs = {}
+    for sm in (False, True):
+        cfg = FMConfig(num_features=ds.num_features, num_factors=3,
+                       num_fields=4, task=Task.CLASSIFICATION,
+                       reg_v=0.01, seed=9, slot_major_fields=sm)
+        st_sh, st_ref, l_sh, l_ref = _run_pair((2, 4), cfg, sgd_cfg, ds,
+                                               steps=2)
+        np.testing.assert_allclose(l_sh, l_ref, rtol=1e-5)
+        outs[sm] = np.asarray(st_sh.params.v)
+    np.testing.assert_allclose(outs[True], outs[False],
+                               rtol=1e-4, atol=1e-6)
