@@ -187,13 +187,13 @@ def bench_ffm(hb):
     from sparkfm_tpu.solvers import sgd as sgd_solver
 
     fields = 22
-    # Default 2^20; the FULL Avazu 2^22 also fits one chip since round 4
-    # (flat (F, nf*k) v layout kills the 16x tile-padding tax; lean
-    # non-adam states drop the dead adam slot2 buffer) — measured 90K
-    # ex/s at 2^22 vs 176K at 2^20 (bigger-table gather/scatter costs).
-    # Sharding over `model` remains the production layout for config 4
-    # (BASELINE "multi-host all-to-all").
-    buckets = int(os.environ.get("BENCH_BUCKETS", 1 << 20))
+    # Default = the FULL published 2^22 Avazu table (BASELINE config 4).
+    # Round 4 made it fit one chip (flat (F, nf*k) v layout, lean
+    # non-adam slots) at 90K ex/s; the round-5 fused record erased the
+    # table-size penalty entirely (489K at 2^22 vs 490K at 2^20), so
+    # the bench now measures the real shape. Sharding over `model`
+    # remains the production layout ("multi-host all-to-all").
+    buckets = int(os.environ.get("BENCH_BUCKETS", 1 << 22))
     rank = 8
     batch = int(os.environ.get("BENCH_BATCH", 8192))
     steps = int(os.environ.get("BENCH_STEPS", 20))
