@@ -157,7 +157,6 @@ class DeepFMModel:
         eps = 1e-7
         pc = np.clip(p, eps, 1 - eps)
         y01 = (y > 0).astype(np.float64)
-        import math
         return {
             "logloss": float(-np.mean(y01 * np.log(pc)
                                       + (1 - y01) * np.log1p(-pc))),

@@ -22,7 +22,7 @@ driver loop, FMModel.scala:34-55); this is new surface.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

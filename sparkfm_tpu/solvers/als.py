@@ -48,7 +48,6 @@ import numpy as np
 from sparkfm_tpu.config import ALSConfig, FMConfig, Task
 from sparkfm_tpu.data.batching import SparseDataset
 from sparkfm_tpu.models.fm import FMParams
-from sparkfm_tpu.ops import interaction as I
 
 
 @jax.tree_util.register_dataclass

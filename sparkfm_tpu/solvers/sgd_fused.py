@@ -23,7 +23,7 @@ separate v + slot_v tables it replaces.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
